@@ -1,0 +1,52 @@
+"""Paged-cache scatter/gather ops (run inside jit, updates donated buffers).
+
+TPU-native replacement for the reference CUDA scatter kernels
+(reference: csrc/kernel/kv_cache_kernels/kv_cache_kernels.cu:17-96 and
+csrc/kernel/cache_kernels/cache_kernels.cu:17-84). On TPU an XLA scatter on a
+donated buffer is an in-place HBM write — no custom kernel needed for the
+store itself; the win is that it fuses into the surrounding jitted step.
+
+Padding convention: slot_id < 0 marks a padded token; those writes are
+dropped via scatter mode='drop'.
+"""
+import jax
+import jax.numpy as jnp
+
+
+def write_token_cache(cache: jax.Array, layer_id: int, slot_ids: jax.Array,
+                      values: tuple, block_size: int) -> jax.Array:
+    """Scatter per-token rows into the paged cache for one layer.
+
+    cache:    (n_layers, n_tensors, n_blocks, block_size, n_heads, head_dim)
+    slot_ids: (n_tokens,) int32 physical slots (= block_id*block_size+offset);
+              negative → dropped (padding)
+    values:   n_tensors arrays of (n_tokens, n_heads, head_dim)
+    """
+    blk = slot_ids // block_size
+    off = slot_ids % block_size
+    # Negative slots produce negative blk → out-of-bounds → dropped.
+    blk = jnp.where(slot_ids < 0, -1, blk)
+    for i, v in enumerate(values):
+        cache = cache.at[layer_id, i, blk, off].set(
+            v.astype(cache.dtype), mode="drop")
+    return cache
+
+
+def write_kv_cache(cache: jax.Array, layer_id: int, slot_ids: jax.Array,
+                   k: jax.Array, v: jax.Array, block_size: int) -> jax.Array:
+    """KV specialization: tensor 0 = key, tensor 1 = value."""
+    return write_token_cache(cache, layer_id, slot_ids, (k, v), block_size)
+
+
+def gather_token_cache(cache: jax.Array, layer_id: int, tensor_id: int,
+                       block_tables: jax.Array) -> jax.Array:
+    """Gather pages for a batch of sequences into a dense array.
+
+    block_tables: (n_seqs, max_blocks) int32, -1 padded (reads clamp to 0;
+                  callers mask by kv length so garbage rows are never used).
+    returns: (n_seqs, max_blocks*block_size, n_heads, head_dim)
+    """
+    tables = jnp.maximum(block_tables, 0)
+    pages = cache[layer_id, tensor_id][tables]  # (S, max_blocks, bs, H, D)
+    s, mb, bs, h, d = pages.shape
+    return pages.reshape(s, mb * bs, h, d)
