@@ -1,0 +1,90 @@
+"""Llama-family causal LM over the paged cache.
+
+From-scratch functional equivalent of the reference's Llama
+(reference: hydrainfer/model/llama.py:99-185 — RoPE + GQA paged attention,
+greedy argmax inside forward, safetensor loader), built on the shared
+decoder blocks in decoder.py. Also covers Qwen2 text decoders (same
+structure + qkv bias).
+"""
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .decoder import DecoderConfig, decoder_forward, init_rope_tables
+from .factory import LanguageModel, LanguageModelBatch, LanguageModelOutput
+from .weight_loader import WeightStore
+
+
+def decoder_config_from_hf(cfg: dict, attention_impl: str = "auto") -> DecoderConfig:
+    hidden = cfg["hidden_size"]
+    heads = cfg["num_attention_heads"]
+    return DecoderConfig(
+        n_layers=cfg["num_hidden_layers"],
+        hidden_size=hidden,
+        intermediate_size=cfg["intermediate_size"],
+        n_qo_heads=heads,
+        n_kv_heads=cfg.get("num_key_value_heads", heads),
+        head_dim=cfg.get("head_dim") or hidden // heads,
+        vocab_size=cfg["vocab_size"],
+        max_position_embeddings=cfg.get("max_position_embeddings", 4096),
+        rope_theta=float(cfg.get("rope_theta", 10000.0)),
+        rms_norm_eps=float(cfg.get("rms_norm_eps", 1e-6)),
+        qkv_bias=cfg.get("model_type") == "qwen2" or bool(cfg.get("attention_bias", False)),
+        tie_word_embeddings=bool(cfg.get("tie_word_embeddings", False)),
+        attention_impl=attention_impl,
+    )
+
+
+def convert_llama_weights(store: WeightStore, cfg: DecoderConfig,
+                          prefix: str = "model.",
+                          lm_head_name: str = "lm_head") -> dict:
+    """HF checkpoint names → fused functional pytree."""
+    w = {"embed": store.get(f"{prefix}embed_tokens.weight"), "layers": []}
+    for l in range(cfg.n_layers):
+        p = f"{prefix}layers.{l}."
+        qkv, qkv_b = store.fused_linear(
+            [p + "self_attn.q_proj", p + "self_attn.k_proj", p + "self_attn.v_proj"],
+            bias=True)
+        lw = {
+            "qkv_proj": qkv,
+            "qkv_bias": qkv_b if cfg.qkv_bias else None,
+            "o_proj": store.linear(p + "self_attn.o_proj"),
+            "gate_up": store.fused_linear([p + "mlp.gate_proj", p + "mlp.up_proj"]),
+            "down": store.linear(p + "mlp.down_proj"),
+            "input_norm": store.get(p + "input_layernorm.weight"),
+            "post_norm": store.get(p + "post_attention_layernorm.weight"),
+        }
+        w["layers"].append(lw)
+    w["norm"] = store.get(f"{prefix}norm.weight")
+    if cfg.tie_word_embeddings or not store.has(f"{lm_head_name}.weight"):
+        w["lm_head"] = jnp.transpose(w["embed"])
+    else:
+        w["lm_head"] = store.linear(lm_head_name)
+    return w
+
+
+class LlamaForCausalLM(LanguageModel):
+    def __init__(self, weights: dict, cfg: DecoderConfig):
+        self.cfg = cfg
+        self.weights = weights
+        self.cos_tab, self.sin_tab = init_rope_tables(cfg)
+        self._step = jax.jit(
+            functools.partial(decoder_forward, cfg=cfg),
+            static_argnames=("max_q", "return_logits"),
+            donate_argnums=(1,),
+        )
+
+    def forward(self, cache: jax.Array, batch: LanguageModelBatch,
+                max_q: int) -> LanguageModelOutput:
+        cache, tokens = self._step(self.weights, cache, batch,
+                                   self.cos_tab, self.sin_tab, max_q=max_q)
+        return LanguageModelOutput(sample_token_ids=tokens, cache=cache)
+
+    def forward_with_logits(self, cache, batch, max_q: int,
+                            input_embeds: Optional[jax.Array] = None):
+        """Test/debug path: also returns fp32 logits at the sampled rows."""
+        return self._step(self.weights, cache, batch, self.cos_tab,
+                          self.sin_tab, max_q=max_q,
+                          input_embeds=input_embeds, return_logits=True)
