@@ -1,0 +1,401 @@
+"""Per-chip-group engine node (reference: hydrainfer/cluster/epdnode.py).
+
+Single-controller re-design: instead of one Ray actor per GPU in its own
+process, every node is an asyncio actor inside the controller process, bound
+to a device subset (its mesh) of the pod slice. Consequences, all deliberate:
+
+  - migration control plane = plain (async) method calls between nodes;
+  - migration data plane   = gather blocks on the source device →
+    jax.device_put onto the destination device (ICI same host, DCN across
+    hosts) → scatter into destination blocks. This replaces both the
+    CUDA-IPC path (reference: memory/communication.py:23-47) and the NCCL
+    isend/irecv path (:50-75) behind one mechanism; transfers are issued
+    asynchronously and overlap compute exactly like the reference's
+    dedicated migrate stream;
+  - no NCCL world/rendezvous: the controller already sees every device.
+
+Behavioral contract preserved: cache sizing from free HBM with utilization
+splits (reference: epdnode.py:102-127), SLO budget profiling at startup,
+1ms step cadence, 5s perf monitor, the 4-step migration protocol with
+migrating-count OOM guards and self-migration short-circuit, per-request
+latency stamps.
+"""
+import asyncio
+import copy
+import time
+from dataclasses import dataclass, field
+from typing import Dict, Optional
+
+import jax
+
+from ..engine.executor import InstructionExecutor
+from ..engine.isa import (EmptyInstruction, EPMigrate, Fill, ImageEmbed,
+                          MigrateRequest, PullCache)
+from ..engine.metric import log_latency_breakdown
+from ..engine.profiler import BatchSchedulerProfiler, BatchSchedulerProfilerConfig
+from ..engine.rcb import BatchRequest, RequestControlBlock
+from ..engine.request_processor import (RequestProcessParameters,
+                                        RequestProcessor,
+                                        RequestProcessorConfig,
+                                        RequestProcessorObserver)
+from ..engine.scheduler import BatchScheduler, BatchSchedulerConfig
+from ..engine.scenario import ScenarioType
+from ..engine.worker import VanillaWorker, WorkerConfig
+from ..memory import TokenCacheBlockManager, TokenCacheBlockManagerConfig
+from ..models.factory import ModelFactory, ModelFactoryConfig, getModelFactory
+from ..utils.logger import getLogger
+from .loadbalancer import CompositeLoadBalancer, LoadBalancer, LoadBalancerConfig
+from .migrate import MigrateGraph, NodeType
+
+logger = getLogger(__name__)
+
+
+@dataclass
+class NodeConfig:
+    model: ModelFactoryConfig = field(default_factory=ModelFactoryConfig)
+    batch_scheduler: BatchSchedulerConfig = field(default_factory=BatchSchedulerConfig)
+    request_processor: RequestProcessorConfig = field(default_factory=RequestProcessorConfig)
+    profiler: BatchSchedulerProfilerConfig = field(
+        default_factory=lambda: BatchSchedulerProfilerConfig(enabled=False))
+    kv_block_size: int = 16
+    image_block_size: int = -1        # -1 = one image's worth of tokens
+    n_kv_blocks: int = -1             # -1 = size from free HBM
+    n_image_blocks: int = -1
+    hbm_utilization: float = 0.9
+    log_latency_breakdown: bool = False
+    tpot_slo: float = 0.4
+    step_interval_s: float = 0.001
+    perf_monitor_interval_s: float = 5.0
+
+
+@dataclass
+class NodeContext:
+    name: str = "node0"
+    node_type: NodeType = field(default_factory=NodeType)
+    device: Optional[object] = None   # jax.Device owning this node's caches
+    migrate_graph: Optional[MigrateGraph] = None
+
+
+class BatchSchedulerObserver(RequestProcessorObserver):
+    def __init__(self, scheduler: BatchScheduler):
+        self.scheduler = scheduler
+
+    def update(self, rcb: RequestControlBlock) -> None:
+        self.scheduler.schedule_new(rcb)
+
+
+class AsyncEPDNode:
+    def __init__(self, config: NodeConfig, context: NodeContext):
+        self.config = config
+        self.context = context
+        self.name = f"{context.node_type}Node:{context.name}"
+        self.device = context.device or jax.devices()[0]
+        self._stop = False
+        self._tasks = []
+
+    # ---------------- init ----------------
+
+    def init(self, model_factory: Optional[ModelFactory] = None) -> None:
+        nt = self.context.node_type
+        self.model_factory = model_factory or getModelFactory(self.config.model)
+        self.language_config = self.model_factory.getLanguageModelConfig()
+        self.vision_config = self.model_factory.getVisionModelConfig()
+
+        self.worker = VanillaWorker(
+            WorkerConfig(enable_vision=nt.has_vision_model,
+                         enable_language=nt.has_language_model),
+            self.model_factory)
+        self._init_caches()
+        self.executor = InstructionExecutor(
+            self.kv_cache_manager, self.image_cache_manager, self.worker,
+            self.model_factory)
+
+        n_img_tokens = self.vision_config.image_token_calculator \
+            .get_num_image_tokens((336, 336)) or 576
+        profiler = BatchSchedulerProfiler(
+            self.config.profiler, self.executor,
+            self.kv_cache_manager, self.image_cache_manager,
+            n_image_tokens=n_img_tokens)
+        image_budget = profiler.profile_image_budgets()
+        token_budget = profiler.profile_token_budgets()
+
+        self.batch_scheduler = BatchScheduler(
+            self.config.batch_scheduler,
+            self.kv_cache_manager, self.image_cache_manager,
+            image_budget=image_budget, token_budget=token_budget)
+
+        self.request_processor = RequestProcessor(
+            self.config.request_processor, self.model_factory)
+        self.request_processor.register_observer(
+            BatchSchedulerObserver(self.batch_scheduler))
+
+        self.ep_loadbalancer = CompositeLoadBalancer()
+        self.pd_loadbalancer = CompositeLoadBalancer()
+        if self.context.migrate_graph is not None:
+            self.update_migrate_graph(self.context.migrate_graph)
+        logger.info(f"{self.name} initialized on {self.device} "
+                    f"(budgets: {image_budget} images, {token_budget} tokens)")
+
+    def _free_hbm_bytes(self) -> Optional[int]:
+        stats = self.device.memory_stats() if hasattr(self.device, "memory_stats") else None
+        if not stats or "bytes_limit" not in stats:
+            return None
+        free = stats["bytes_limit"] - stats.get("bytes_in_use", 0)
+        return int(free * self.config.hbm_utilization)
+
+    def _init_caches(self) -> None:
+        nt = self.context.node_type
+        lc = self.language_config
+        image_block_size = self.config.image_block_size
+        if image_block_size == -1:
+            image_block_size = self.vision_config.image_token_calculator \
+                .get_num_image_tokens((336, 336)) or 576
+
+        kv_cfg = TokenCacheBlockManagerConfig(
+            n_layers=lc.n_layers, n_tensors=2,
+            n_blocks=max(self.config.n_kv_blocks, 1),
+            block_size=self.config.kv_block_size,
+            n_heads=lc.n_kv_heads, head_dim=lc.head_dim,
+            dtype=self.config.model.dtype)
+        img_cfg = TokenCacheBlockManagerConfig(
+            n_layers=1, n_tensors=1,
+            n_blocks=max(self.config.n_image_blocks, 1),
+            block_size=image_block_size,
+            n_heads=lc.n_qo_heads, head_dim=lc.head_dim,
+            dtype=self.config.model.dtype)
+
+        if self.config.n_kv_blocks == -1 or self.config.n_image_blocks == -1:
+            free = self._free_hbm_bytes()
+            if free is not None:
+                # activation headroom per resident model, then cache split
+                # (reference: epdnode.py:105-123)
+                act = 0.1 * nt.has_vision_model + 0.1 * nt.has_language_model
+                cache_frac = 1.0 - act
+                if nt.has_image_cache and nt.has_kv_cache:
+                    img_frac, kv_frac = cache_frac * 0.1, cache_frac * 0.8
+                elif nt.has_image_cache:
+                    img_frac, kv_frac = cache_frac, 0.0
+                else:
+                    img_frac, kv_frac = 0.0, cache_frac
+                if self.config.n_kv_blocks == -1 and nt.has_kv_cache:
+                    kv_cfg.n_blocks = max(1, TokenCacheBlockManager.compute_n_blocks(
+                        kv_cfg, int(free * kv_frac)))
+                if self.config.n_image_blocks == -1 and nt.has_image_cache:
+                    img_cfg.n_blocks = max(1, TokenCacheBlockManager.compute_n_blocks(
+                        img_cfg, int(free * img_frac)))
+                logger.info(f"{self.name} auto cache sizing: free={free} "
+                            f"kv_blocks={kv_cfg.n_blocks} image_blocks={img_cfg.n_blocks}")
+            else:
+                if self.config.n_kv_blocks == -1:
+                    kv_cfg.n_blocks = 1024
+                if self.config.n_image_blocks == -1:
+                    img_cfg.n_blocks = 64
+                logger.info(f"{self.name} no memory stats; default cache sizing")
+
+        self.kv_cache_manager = (TokenCacheBlockManager(kv_cfg, self.device, self.name)
+                                 if nt.has_kv_cache else None)
+        self.image_cache_manager = (TokenCacheBlockManager(img_cfg, self.device, self.name)
+                                    if nt.has_image_cache else None)
+
+    def update_migrate_graph(self, graph: MigrateGraph) -> None:
+        self.context.migrate_graph = graph
+        self.ep_loadbalancer = CompositeLoadBalancer()
+        self.pd_loadbalancer = CompositeLoadBalancer()
+        for lb in (self.ep_loadbalancer, self.pd_loadbalancer):
+            for scenario in ScenarioType:
+                lb.register_loadbalancer(scenario, LoadBalancer(LoadBalancerConfig("round")))
+        for table, lb in ((graph.ep_table.get(self.name, []), self.ep_loadbalancer),
+                          (graph.pd_table.get(self.name, []), self.pd_loadbalancer)):
+            for mnode in table:
+                # tight-SLO nodes serve both scenarios; others only Relaxed
+                if mnode.tpot_slo < 0.05:
+                    lb.register_worker(ScenarioType.Strict, mnode)
+                lb.register_worker(ScenarioType.Relaxed, mnode)
+
+    # ---------------- request intake ----------------
+
+    async def add_request(self, request, params: RequestProcessParameters) -> None:
+        request.sampling_params.eos_token_ids = list(request.sampling_params.eos_token_ids)
+        self.request_processor.process(request, params)
+
+    # ---------------- the hot loop ----------------
+
+    async def step(self) -> None:
+        batch = self.batch_scheduler.step()
+        if len(batch) == 0:
+            return
+
+        fills, embeds, empties, migrates, pulls = (BatchRequest() for _ in range(5))
+        for rcb, inst in batch:
+            if isinstance(inst, Fill):
+                fills.append(rcb)
+            elif isinstance(inst, ImageEmbed):
+                embeds.append(rcb)
+            elif isinstance(inst, MigrateRequest):
+                migrates.append(rcb)
+            elif isinstance(inst, PullCache):
+                pulls.append(rcb)
+            elif isinstance(inst, EmptyInstruction):
+                empties.append(rcb)
+            else:
+                raise RuntimeError(f"unsupported instruction {type(inst)}")
+
+        if self.config.log_latency_breakdown:
+            self._stamp_execute_begin(fills, embeds)
+
+        migrate_tasks = [asyncio.create_task(self._execute_batch_migrate(migrates)),
+                         asyncio.create_task(self._execute_pull_cache(pulls))]
+        # device programs dispatch asynchronously; encode and fill overlap
+        embed_future = self.executor.execute_image_embed(embeds) if len(embeds) \
+            else self.executor.execute_empty(embeds)
+        fill_future = self.executor.execute_fill(fills)
+        self.executor.execute_empty(empties)
+        embed_future.get()
+        fill_future.get()
+        await asyncio.gather(*migrate_tasks)
+
+        if self.config.log_latency_breakdown:
+            self._stamp_execute_end(fills, embeds)
+
+        now = time.perf_counter()
+        for b in (embeds, fills, empties, pulls):
+            for rcb, _ in b:
+                if rcb.is_finished():
+                    rcb.metric.finished_time = now
+                    self._free_cache(rcb)
+                    if self.config.log_latency_breakdown:
+                        log_latency_breakdown(rcb.metric)
+                else:
+                    self.batch_scheduler.schedule_running(rcb)
+
+    def _stamp_execute_begin(self, fills: BatchRequest, embeds: BatchRequest) -> None:
+        now = time.perf_counter()
+        self._stamped = []
+        for rcb, inst in fills:
+            self._stamped.append((rcb, inst))
+            span = (rcb.metric.prefill_execute if len(inst.token_ids) > 1
+                    else rcb.metric.decode_execute)
+            if not span:
+                span.append(now)
+        for rcb, _ in embeds:
+            rcb.metric.encode_execute.append(now)
+
+    def _stamp_execute_end(self, fills: BatchRequest, embeds: BatchRequest) -> None:
+        now = time.perf_counter()
+        for rcb, inst in self._stamped:
+            span = (rcb.metric.prefill_execute if len(inst.token_ids) > 1
+                    else rcb.metric.decode_execute)
+            if len(span) == 1:
+                span.append(now)
+            elif len(span) > 1:
+                span[1] = now
+        for rcb, _ in embeds:
+            rcb.metric.encode_execute.append(now)
+
+    async def start(self) -> None:
+        self._stop = False
+        self._tasks = [asyncio.create_task(self.step_loop()),
+                       asyncio.create_task(self.perf_monitor_loop())]
+
+    async def stop(self) -> None:
+        self._stop = True
+        for t in self._tasks:
+            t.cancel()
+
+    async def step_loop(self) -> None:
+        while not self._stop:
+            try:
+                await self.step()
+            except Exception:
+                logger.exception(f"{self.name} step failed")
+                raise
+            await asyncio.sleep(self.config.step_interval_s)
+
+    async def perf_monitor_loop(self) -> None:
+        while not self._stop:
+            parts = [f"{self.name} perf:"]
+            if self.kv_cache_manager:
+                parts.append(f"kv={self.kv_cache_manager.metrics()}")
+            if self.image_cache_manager:
+                parts.append(f"image={self.image_cache_manager.metrics()}")
+            parts.append(f"sched={self.batch_scheduler.metrics()}")
+            logger.info(" ".join(parts))
+            await asyncio.sleep(self.config.perf_monitor_interval_s)
+
+    # ---------------- 4-step migration protocol ----------------
+    # 1. sender picks a target and hands over the RCB (with its virtual
+    #    caches still pointing at the sender's blocks)
+    async def _execute_batch_migrate(self, batch: BatchRequest) -> None:
+        for rcb, inst in batch:
+            rcb.step()
+            assert isinstance(rcb.current_instruction(), PullCache)
+            lb = self.ep_loadbalancer if isinstance(inst, EPMigrate) else self.pd_loadbalancer
+            target = lb.choice(key=rcb.scenario_type)
+            if target.name == self.name:
+                rcb.step()  # skip PullCache: nothing to move
+                self.batch_scheduler.schedule_running(rcb)
+                continue
+            self.batch_scheduler.migrating_acquire()
+            try:
+                await target.node.migrate(self, rcb)
+            except Exception:
+                logger.exception(f"{rcb.request_id} migrate to {target.name} failed")
+                await self.free_migrate_request(rcb)
+                for proc in rcb.output_token_processors:
+                    proc.append_token_id(self.language_config.eos_token_id, True)
+
+    # 2. receiver enqueues the RCB; PullCache jumps the waiting queue
+    async def migrate(self, src_node: "AsyncEPDNode", rcb: RequestControlBlock) -> None:
+        inst = rcb.current_instruction()
+        assert isinstance(inst, PullCache)
+        inst.src_node = src_node
+        self.batch_scheduler.schedule_new(rcb)
+
+    # 3. receiver pulls the blocks (device-to-device transfer)
+    async def _execute_pull_cache(self, batch: BatchRequest) -> None:
+        for rcb, inst in batch:
+            m = rcb.metric
+            (m.ep_transfer if not m.ep_transfer else m.pd_transfer).append(time.perf_counter())
+
+            src_node: AsyncEPDNode = inst.src_node
+            old = copy.copy(rcb)
+            nt = self.context.node_type
+            if rcb.virtual_kv_cache is not None and nt.has_kv_cache:
+                rcb.virtual_kv_cache = self._pull_virtual_cache(
+                    src_node, rcb.virtual_kv_cache, is_kv=True)
+            else:
+                rcb.virtual_kv_cache = None
+            if rcb.virtual_image_cache is not None and nt.has_image_cache:
+                rcb.virtual_image_cache = self._pull_virtual_cache(
+                    src_node, rcb.virtual_image_cache, is_kv=False)
+            else:
+                rcb.virtual_image_cache = None
+            await src_node.free_migrate_request(old)
+            rcb.step()
+
+            (m.ep_transfer if len(m.ep_transfer) == 1 else m.pd_transfer).append(time.perf_counter())
+
+    def _pull_virtual_cache(self, src_node: "AsyncEPDNode", src_vc, is_kv: bool):
+        src_mgr = src_node.kv_cache_manager if is_kv else src_node.image_cache_manager
+        dst_mgr = self.kv_cache_manager if is_kv else self.image_cache_manager
+        dst_vc = dst_mgr.allocate_virtual_cache()
+        dst_mgr.realloc(dst_vc, src_vc.n_cache_tokens)
+        if src_vc.block_table:
+            blocks = src_mgr.gather_blocks(src_vc.block_table)
+            blocks = jax.device_put(blocks, dst_mgr.device)  # ICI/DCN hop
+            dst_mgr.scatter_blocks(dst_vc.block_table, blocks)
+        return dst_vc
+
+    # 4. sender frees the migrated request's blocks
+    async def free_migrate_request(self, rcb: RequestControlBlock) -> None:
+        self._free_cache(rcb)
+        self.batch_scheduler.migrating_release()
+
+    def _free_cache(self, rcb: RequestControlBlock) -> None:
+        if rcb.virtual_kv_cache is not None and self.kv_cache_manager is not None:
+            self.kv_cache_manager.realloc(rcb.virtual_kv_cache, 0)
+        if rcb.virtual_image_cache is not None and self.image_cache_manager is not None:
+            self.image_cache_manager.realloc(rcb.virtual_image_cache, 0)
+
+    def __repr__(self):
+        return self.name

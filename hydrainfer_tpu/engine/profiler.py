@@ -1,0 +1,146 @@
+"""SLO-driven batch-budget profiler (reference: hydrainfer/engine/profiler.py:33-240).
+
+At node startup, binary-search the largest image batch and token batch whose
+measured step latency stays under `tpot_slo - margin`, by pushing synthetic
+batches through the REAL executor (so jit compilation for those buckets is
+also warmed). The budgets bound what the scheduler packs per step.
+"""
+import time
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+
+from ..memory import TokenCacheBlockManager
+from ..request import SamplingParameters
+from ..utils.logger import getLogger
+from .isa import InstructionListBuilder, TextFill
+from .rcb import BatchRequest, RequestControlBlock
+
+logger = getLogger(__name__)
+
+
+@dataclass
+class BatchSchedulerProfilerConfig:
+    enabled: bool = True
+    tpot_slo: float = 0.4
+    slo_margin: float = 0.01
+    max_image_budget: int = 8
+    max_token_budget: int = 2048
+    # used when profiling is disabled (tests, CPU)
+    default_image_budget: int = 8
+    default_token_budget: int = 2048
+
+
+class BatchSchedulerProfiler:
+    def __init__(self, config: BatchSchedulerProfilerConfig, executor=None,
+                 kv_cache_manager: Optional[TokenCacheBlockManager] = None,
+                 image_cache_manager: Optional[TokenCacheBlockManager] = None,
+                 n_image_tokens: int = 576,
+                 pixel_shape: tuple = (1, 3, 336, 336)):
+        self.config = config
+        self.executor = executor
+        self.kv = kv_cache_manager
+        self.image = image_cache_manager
+        self.n_image_tokens = n_image_tokens
+        self.pixel_shape = pixel_shape
+
+    # ---------------- synthetic batches ----------------
+
+    def _make_fill_rcb(self, n_tokens: int) -> RequestControlBlock:
+        rcb = RequestControlBlock()
+        rcb.sampling_params = SamplingParameters(max_tokens=1)
+        builder = InstructionListBuilder()
+        builder.append(TextFill(
+            token_ids=list(np.random.randint(10, 100, size=n_tokens)),
+            position_ids=list(range(n_tokens)),
+            cache_ids=list(range(n_tokens)),
+            sample=True, sample_dst=None, hashes=None))
+        rcb.instructions = builder.build()
+        rcb.virtual_kv_cache = self.kv.allocate_virtual_cache()
+        self.kv.realloc(rcb.virtual_kv_cache, n_tokens)
+        return rcb
+
+    def _time_fill(self, n_tokens: int, n_seqs: int = 1) -> float:
+        per_seq = max(1, n_tokens // max(1, n_seqs))
+        rcbs = [self._make_fill_rcb(per_seq) for _ in range(n_seqs)]
+        batch = BatchRequest(rcbs)
+        # warm (compile) + measure
+        self.executor.execute_fill(batch).get()
+        for rcb in rcbs:
+            rcb.instructions.curr = rcb.instructions.head.next
+        t0 = time.perf_counter()
+        self.executor.execute_fill(BatchRequest(rcbs)).get()
+        dt = time.perf_counter() - t0
+        for rcb in rcbs:
+            self.kv.free(rcb.virtual_kv_cache)
+        return dt
+
+    def _time_encode(self, n_images: int) -> float:
+        from .isa import ImageEmbed
+        from PIL import Image
+        img = Image.fromarray(np.zeros((336, 336, 3), np.uint8))
+        rcbs = []
+        for _ in range(n_images):
+            rcb = RequestControlBlock()
+            rcb.sampling_params = SamplingParameters(max_tokens=1)
+            builder = InstructionListBuilder()
+            rcb.virtual_image_cache = self.image.allocate_virtual_cache()
+            self.image.realloc(rcb.virtual_image_cache, self.n_image_tokens)
+            builder.append(ImageEmbed(
+                pixel_values=np.zeros(self._pixel_shape(), np.float32),
+                cache_ids=list(range(self.n_image_tokens)),
+                images_size=[(336, 336)], hashes=None))
+            rcb.instructions = builder.build()
+            rcbs.append(rcb)
+        self.executor.execute_image_embed(BatchRequest(rcbs)).get()
+        for rcb in rcbs:
+            rcb.instructions.curr = rcb.instructions.head.next
+        t0 = time.perf_counter()
+        self.executor.execute_image_embed(BatchRequest(rcbs)).get()
+        dt = time.perf_counter() - t0
+        for rcb in rcbs:
+            self.image.free(rcb.virtual_image_cache)
+        return dt
+
+    def _pixel_shape(self):
+        return self.pixel_shape
+
+    # ---------------- binary searches ----------------
+
+    def _binary_search_budget(self, lo: int, hi: int, timer) -> int:
+        """Largest n in [lo, hi] with timer(n) under the SLO."""
+        budget = lo
+        target = self.config.tpot_slo - self.config.slo_margin
+        while lo <= hi:
+            mid = (lo + hi) // 2
+            if timer(mid) < target:
+                budget = mid
+                lo = mid + 1
+            else:
+                hi = mid - 1
+        return budget
+
+    def profile_image_budgets(self) -> int:
+        if not self.config.enabled or self.executor is None or self.image is None:
+            return self.config.default_image_budget
+        try:
+            budget = self._binary_search_budget(
+                1, self.config.max_image_budget, self._time_encode)
+        except Exception:
+            logger.exception("image budget profiling failed; using default")
+            return self.config.default_image_budget
+        logger.info(f"profiled image budget: {budget}")
+        return budget
+
+    def profile_token_budgets(self) -> int:
+        if not self.config.enabled or self.executor is None or self.kv is None:
+            return self.config.default_token_budget
+        try:
+            budget = self._binary_search_budget(
+                16, self.config.max_token_budget, self._time_fill)
+        except Exception:
+            logger.exception("token budget profiling failed; using default")
+            return self.config.default_token_budget
+        logger.info(f"profiled token budget: {budget}")
+        return budget

@@ -94,9 +94,11 @@ def decoder_forward(weights: dict, cache: jax.Array, batch: LanguageModelBatch,
     """Full LM step. Returns (cache, sampled_token_ids[, logits])."""
     if input_embeds is None:
         x = jnp.take(weights["embed"], batch.token_ids, axis=0)
-        # splice vision features over <image> positions
-        x = x.at[batch.image_dst_idx].set(
-            batch.image_features.astype(x.dtype), mode="drop")
+        # splice vision features over <image> positions; padded dst (-1) maps
+        # to the out-of-bounds index T so mode='drop' actually drops it
+        # (negative indices would wrap numpy-style)
+        dst = jnp.where(batch.image_dst_idx < 0, x.shape[0], batch.image_dst_idx)
+        x = x.at[dst].set(batch.image_features.astype(x.dtype), mode="drop")
     else:
         x = input_embeds
 

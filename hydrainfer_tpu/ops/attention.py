@@ -83,8 +83,10 @@ def paged_attention_jnp(q: jax.Array, cache: jax.Array, layer_id,
     v = _repeat_kv(v, H // KVH)
 
     # Scatter flat q into per-sequence padded layout (S, max_q, H, D).
+    # Padding rows (seq -1) map to the out-of-bounds index S: under
+    # mode='drop' negative indices wrap numpy-style, but >= S drops.
     q_pad = jnp.zeros((S, max_q, H, D), dtype=q.dtype)
-    seq_ids = jnp.where(params.q_seq_ids < 0, -1, params.q_seq_ids)
+    seq_ids = jnp.where(params.q_seq_ids < 0, S, params.q_seq_ids)
     q_pad = q_pad.at[seq_ids, params.q_local_ids].set(q, mode="drop")
     pos_pad = jnp.zeros((S, max_q), dtype=jnp.int32)
     pos_pad = pos_pad.at[seq_ids, params.q_local_ids].set(params.positions, mode="drop")
@@ -108,7 +110,7 @@ def paged_attention_jnp(q: jax.Array, cache: jax.Array, layer_id,
     p = e / jnp.maximum(denom, 1e-30)
     out_pad = jnp.einsum("shqk,skhd->sqhd", p, v.astype(jnp.float32))
 
-    out = out_pad[jnp.maximum(seq_ids, 0), params.q_local_ids]  # (T, H, D)
+    out = out_pad[jnp.minimum(seq_ids, S - 1), params.q_local_ids]  # (T, H, D)
     return out.astype(q.dtype)
 
 

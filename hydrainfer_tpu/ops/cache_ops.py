@@ -22,10 +22,13 @@ def write_token_cache(cache: jax.Array, layer_id: int, slot_ids: jax.Array,
               negative → dropped (padding)
     values:   n_tensors arrays of (n_tokens, n_heads, head_dim)
     """
+    n_blocks = cache.shape[2]
     blk = slot_ids // block_size
     off = slot_ids % block_size
-    # Negative slots produce negative blk → out-of-bounds → dropped.
-    blk = jnp.where(slot_ids < 0, -1, blk)
+    # Padding slots (<0) must map to a positive out-of-bounds index: with
+    # mode='drop' negative indices still WRAP numpy-style, but indices >= n
+    # are dropped.
+    blk = jnp.where(slot_ids < 0, n_blocks, blk)
     for i, v in enumerate(values):
         cache = cache.at[layer_id, i, blk, off].set(
             v.astype(cache.dtype), mode="drop")

@@ -1,0 +1,133 @@
+"""EPD disaggregation: requests flow E → P → D across separate nodes with
+cache-block migration (the 4-step protocol) between them."""
+import asyncio
+import time
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from hydrainfer_tpu.cluster.migrate import MigrateGraphBuilder, NodeType
+from hydrainfer_tpu.cluster.node import AsyncEPDNode, NodeConfig, NodeContext
+from hydrainfer_tpu.engine.output_token_processor import (
+    OfflineOutputTokenProcessor, OutputTokenParams)
+from hydrainfer_tpu.engine.request_processor import (RequestProcessParameters,
+                                                     RequestProcessorConfig)
+from hydrainfer_tpu.engine.scheduler import BatchSchedulerConfig
+from hydrainfer_tpu.models.fake import FakeConfig, FakeModelFactory
+from hydrainfer_tpu.request import (OfflineInferenceOutput, Request,
+                                    SamplingParameters)
+
+
+def make_node(name, node_type):
+    cfg = NodeConfig(
+        batch_scheduler=BatchSchedulerConfig(max_running_requests=8),
+        request_processor=RequestProcessorConfig(
+            num_request_process_workers=1, block_size=4),
+        kv_block_size=4, n_kv_blocks=128, n_image_blocks=16)
+    cfg.model.dtype = "float32"
+    node = AsyncEPDNode(cfg, NodeContext(name=name, node_type=NodeType(node_type)))
+    node.init(FakeModelFactory(fake_config=FakeConfig()))
+    return node
+
+
+def wire(nodes):
+    builder = MigrateGraphBuilder()
+    for node in nodes:
+        builder.add_node(node.name, node.context.node_type, node, tpot_slo=0.4)
+    graph = builder.build_graph()
+    for node in nodes:
+        node.update_migrate_graph(graph)
+    return graph
+
+
+async def run_to_completion(nodes, entry_node, requests, timeout_s=60):
+    outs = [OfflineInferenceOutput(arrival_time=time.perf_counter())
+            for _ in requests]
+    done = []
+    tokenizer = entry_node.model_factory.getTokenizer()
+    for req, out in zip(requests, outs):
+        proc = OfflineOutputTokenProcessor(out, tokenizer,
+                                           on_finish=lambda o: done.append(o))
+        await entry_node.add_request(req, RequestProcessParameters(
+            output_token_processors=[proc],
+            output_token_params=OutputTokenParams(stream_output=False)))
+    deadline = time.perf_counter() + timeout_s
+    while len(done) < len(requests):
+        for node in nodes:
+            await node.step()
+        await asyncio.sleep(0)
+        assert time.perf_counter() < deadline, \
+            f"stalled: {len(done)}/{len(requests)} finished"
+    return outs
+
+
+def test_pd_disaggregation_text():
+    """P node prefills, D node decodes; KV blocks migrate P→D."""
+    p = make_node("p0", "P")
+    d = make_node("d0", "D")
+    wire([p, d])
+    reqs = [Request(request_id=i, prompt=f"hello number {i}",
+                    sampling_params=SamplingParameters(max_tokens=6, ignore_eos=True))
+            for i in range(4)]
+    outs = asyncio.run(run_to_completion([p, d], p, reqs))
+    for out in outs:
+        assert len(out.output_token_ids) == 6
+    # decode really happened on d: its kv cache saw allocations
+    assert d.kv_cache_manager.block_allocator.n_free < d.kv_cache_manager.n_blocks
+    # p freed its migrated blocks (all virtual caches released)
+    assert p.batch_scheduler.metrics().n_requests_waiting_migrate == 0
+
+
+def test_epd_disaggregation_image():
+    """E encodes, P prefills (needs migrated image cache), D decodes."""
+    e = make_node("e0", "E")
+    p = make_node("p1", "P")
+    d = make_node("d1", "D")
+    wire([e, p, d])
+    rng = np.random.default_rng(0)
+    img = Image.fromarray(rng.integers(0, 255, (64, 64, 3), dtype=np.uint8))
+    reqs = [Request(request_id=f"img{i}", prompt="<image> describe", image=img,
+                    sampling_params=SamplingParameters(max_tokens=4, ignore_eos=True))
+            for i in range(3)]
+    outs = asyncio.run(run_to_completion([e, p, d], e, reqs))
+    for out in outs:
+        assert len(out.output_token_ids) == 4
+    assert p.kv_cache_manager.block_allocator.n_free < p.kv_cache_manager.n_blocks
+
+
+def test_hybrid_ep_d():
+    """EP node does encode+prefill, D node decodes."""
+    ep = make_node("ep0", "EP")
+    d = make_node("d2", "D")
+    wire([ep, d])
+    rng = np.random.default_rng(1)
+    img = Image.fromarray(rng.integers(0, 255, (64, 64, 3), dtype=np.uint8))
+    reqs = [
+        Request(request_id="mm", prompt="<image> what", image=img,
+                sampling_params=SamplingParameters(max_tokens=4, ignore_eos=True)),
+        Request(request_id="tt", prompt="plain text",
+                sampling_params=SamplingParameters(max_tokens=4, ignore_eos=True)),
+    ]
+    outs = asyncio.run(run_to_completion([ep, d], ep, reqs))
+    assert all(len(o.output_token_ids) == 4 for o in outs)
+
+
+def test_migrated_kv_blocks_content():
+    """The migrated KV content on the destination matches the source bytes."""
+    p = make_node("p2", "P")
+    d = make_node("d3", "D")
+    wire([p, d])
+
+    # put recognizable content into p's cache blocks
+    src_mgr = p.kv_cache_manager
+    vc = src_mgr.allocate_virtual_cache()
+    src_mgr.realloc(vc, 8)
+    data = np.random.default_rng(2).standard_normal(
+        (2,) + src_mgr.cache_array.shape[:2] + src_mgr.cache_array.shape[3:]
+    ).astype(np.float32)
+    src_mgr.scatter_blocks(vc.block_table, data)
+
+    dst_vc = d._pull_virtual_cache(p, vc, is_kv=True)
+    got = np.asarray(d.kv_cache_manager.gather_blocks(dst_vc.block_table))
+    np.testing.assert_allclose(got, data, rtol=1e-6)
