@@ -4,10 +4,11 @@ TPU-native re-design of the reference's shared forward blocks
 (reference: hydrainfer/model/model_forward.py:39-105 — UpDownMLP,
 GateUpDownMLP, ROPECausalGroupedQueryPageAttention, DecoderLayer with
 last-layer token discard). One pure function `decoder_forward` runs the whole
-stack inside a single jit: embed → (overwrite image slots) → N decoder
-layers (fused-QKV matmul → rope → paged KV append → paged attention →
-fused gate-up MLP) → final norm → lm_head on ONLY the sampled rows →
-greedy argmax.
+stack inside a single jit: embed → (overwrite image slots) → lax.scan over
+the first n_layers-1 decoder layers with STACKED weights (one compiled layer
+body instead of an unrolled stack — an order of magnitude less HLO and
+compile time) → explicit last layer → final norm → lm_head on ONLY the
+sampled rows → greedy argmax.
 
 The last-layer token-discard optimization survives in static-shape form:
 after the final layer's attention (which must see all T tokens to append
@@ -15,7 +16,7 @@ their KV), the residual stream is gathered down to the S sampled rows before
 the final MLP and the lm_head matmul (reference: model_forward.py:101-103).
 """
 from dataclasses import dataclass
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -46,52 +47,69 @@ class DecoderConfig:
     attention_impl: str = "auto"
 
 
-def init_rope_tables(cfg: DecoderConfig) -> Tuple[jax.Array, jax.Array]:
+def init_rope_tables(cfg: DecoderConfig):
     inv = 1.0 / (cfg.rope_theta ** (jnp.arange(0, cfg.head_dim, 2, dtype=jnp.float32) / cfg.head_dim))
     t = jnp.arange(cfg.max_position_embeddings, dtype=jnp.float32)
     freqs = jnp.einsum("i,j->ij", t, inv)
     return jnp.cos(freqs), jnp.sin(freqs)
 
 
-def attention_block(x: jax.Array, cache: jax.Array, layer_id: int, lw: dict,
-                    batch: LanguageModelBatch, cos_tab, sin_tab,
-                    cfg: DecoderConfig, max_q: int) -> Tuple[jax.Array, jax.Array]:
-    """Fused-QKV projection, rope, KV append, paged attention, output proj."""
+def stack_layer_weights(layers: list) -> dict:
+    """List of per-layer dicts → dict of arrays stacked on a leading layer
+    axis (for lax.scan). None-valued entries (absent biases) are dropped."""
+    keys = [k for k, v in layers[0].items() if v is not None]
+    return {k: jnp.stack([lw[k] for lw in layers]) for k in keys}
+
+
+def pack_decoder_weights(weights: dict) -> dict:
+    """Converted checkpoint layout {"layers": [per-layer dicts], ...} →
+    scan layout {"layers_stack", "last_layer", ...}."""
+    if "layers_stack" in weights:
+        return weights
+    layers = weights["layers"]
+    packed = {k: v for k, v in weights.items() if k != "layers"}
+    packed["layers_stack"] = stack_layer_weights(layers[:-1]) if len(layers) > 1 else {}
+    packed["last_layer"] = {k: v for k, v in layers[-1].items() if v is not None}
+    return packed
+
+
+def _layer_body(x, cache, layer_id, lw, batch: LanguageModelBatch,
+                cos, sin, cfg: DecoderConfig, max_q: int):
+    """One decoder layer: attention block + MLP block."""
     T = x.shape[0]
     Hq, Hkv, D = cfg.n_qo_heads, cfg.n_kv_heads, cfg.head_dim
+
     h = rms_norm(x, lw["input_norm"], cfg.rms_norm_eps)
     qkv = h @ lw["qkv_proj"]
-    if lw.get("qkv_bias") is not None:
+    if "qkv_bias" in lw:
         qkv = qkv + lw["qkv_bias"]
     q, k, v = jnp.split(qkv, [Hq * D, (Hq + Hkv) * D], axis=-1)
-    q = q.reshape(T, Hq, D)
-    k = k.reshape(T, Hkv, D)
+    q = apply_rotary_emb(q.reshape(T, Hq, D), cos, sin, cfg.rope_interleaved)
+    k = apply_rotary_emb(k.reshape(T, Hkv, D), cos, sin, cfg.rope_interleaved)
     v = v.reshape(T, Hkv, D)
-
-    cos = jnp.take(cos_tab, batch.positions, axis=0)
-    sin = jnp.take(sin_tab, batch.positions, axis=0)
-    q = apply_rotary_emb(q, cos, sin, cfg.rope_interleaved)
-    k = apply_rotary_emb(k, cos, sin, cfg.rope_interleaved)
 
     block_size = cache.shape[3]
     cache = write_kv_cache(cache, layer_id, batch.attention.new_kv_slot_ids,
                            k, v, block_size)
     attn = paged_attention(q, cache, layer_id, batch.attention,
                            1.0 / (D ** 0.5), max_q, impl=cfg.attention_impl)
-    out = attn.reshape(T, Hq * D) @ lw["o_proj"]
-    return x + out, cache
+    x = x + attn.reshape(T, Hq * D) @ lw["o_proj"]
 
-
-def mlp_block(x: jax.Array, lw: dict, cfg: DecoderConfig) -> jax.Array:
     h = rms_norm(x, lw["post_norm"], cfg.rms_norm_eps)
-    return x + silu_and_mul(h @ lw["gate_up"]) @ lw["down"]
+    mlp = silu_and_mul(h @ lw["gate_up"]) @ lw["down"]
+    return x + mlp, cache
 
 
 def decoder_forward(weights: dict, cache: jax.Array, batch: LanguageModelBatch,
                     cos_tab: jax.Array, sin_tab: jax.Array, cfg: DecoderConfig,
                     max_q: int, input_embeds: Optional[jax.Array] = None,
                     return_logits: bool = False):
-    """Full LM step. Returns (cache, sampled_token_ids[, logits])."""
+    """Full LM step. Returns (cache, sampled_token_ids[, logits]).
+
+    weights layout: {"embed", "layers_stack" (stacked first n_layers-1),
+    "last_layer" (dict), "norm", "lm_head"} — see LlamaForCausalLM which
+    stacks the converted per-layer weights at init.
+    """
     if input_embeds is None:
         x = jnp.take(weights["embed"], batch.token_ids, axis=0)
         # splice vision features over <image> positions; padded dst (-1) maps
@@ -102,14 +120,45 @@ def decoder_forward(weights: dict, cache: jax.Array, batch: LanguageModelBatch,
     else:
         x = input_embeds
 
+    # per-token rope tables, gathered once for all layers
+    cos = jnp.take(cos_tab, batch.positions, axis=0)
+    sin = jnp.take(sin_tab, batch.positions, axis=0)
+
+    n_scan = cfg.n_layers - 1
+
+    def scan_step(carry, inp):
+        x, cache = carry
+        layer_id, lw = inp
+        x, cache = _layer_body(x, cache, layer_id, lw, batch, cos, sin, cfg, max_q)
+        return (x, cache), None
+
+    if n_scan > 0 and weights["layers_stack"]:
+        layer_ids = jnp.arange(n_scan, dtype=jnp.int32)
+        (x, cache), _ = jax.lax.scan(
+            scan_step, (x, cache), (layer_ids, weights["layers_stack"]))
+
+    # last layer: attention sees all T tokens (their KV must be appended),
+    # then only the sampled rows continue through the MLP and head
     sample_idx = jnp.maximum(batch.sample_token_idx, 0)
-    for l in range(cfg.n_layers):
-        lw = weights["layers"][l]
-        x, cache = attention_block(x, cache, l, lw, batch, cos_tab, sin_tab, cfg, max_q)
-        if l == cfg.n_layers - 1:
-            # token discard: only sampled rows continue to the last MLP/head
-            x = jnp.take(x, sample_idx, axis=0)
-        x = mlp_block(x, lw, cfg)
+    lw = weights["last_layer"]
+    T = x.shape[0]
+    Hq, Hkv, D = cfg.n_qo_heads, cfg.n_kv_heads, cfg.head_dim
+    h = rms_norm(x, lw["input_norm"], cfg.rms_norm_eps)
+    qkv = h @ lw["qkv_proj"]
+    if "qkv_bias" in lw:
+        qkv = qkv + lw["qkv_bias"]
+    q, k, v = jnp.split(qkv, [Hq * D, (Hq + Hkv) * D], axis=-1)
+    q = apply_rotary_emb(q.reshape(T, Hq, D), cos, sin, cfg.rope_interleaved)
+    k = apply_rotary_emb(k.reshape(T, Hkv, D), cos, sin, cfg.rope_interleaved)
+    cache = write_kv_cache(cache, cfg.n_layers - 1,
+                           batch.attention.new_kv_slot_ids, k,
+                           v.reshape(T, Hkv, D), cache.shape[3])
+    attn = paged_attention(q, cache, cfg.n_layers - 1, batch.attention,
+                           1.0 / (D ** 0.5), max_q, impl=cfg.attention_impl)
+    x = x + attn.reshape(T, Hq * D) @ lw["o_proj"]
+    x = jnp.take(x, sample_idx, axis=0)                  # token discard
+    h = rms_norm(x, lw["post_norm"], cfg.rms_norm_eps)
+    x = x + silu_and_mul(h @ lw["gate_up"]) @ lw["down"]
 
     h = rms_norm(x, weights["norm"], cfg.rms_norm_eps)
     logits = jnp.dot(h, weights["lm_head"], preferred_element_type=jnp.float32)

@@ -12,7 +12,8 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from .decoder import DecoderConfig, decoder_forward, init_rope_tables
+from .decoder import (DecoderConfig, decoder_forward, init_rope_tables,
+                      pack_decoder_weights)
 from .factory import LanguageModel, LanguageModelBatch, LanguageModelOutput
 from .weight_loader import WeightStore
 
@@ -68,7 +69,8 @@ def convert_llama_weights(store: WeightStore, cfg: DecoderConfig,
 class LlamaForCausalLM(LanguageModel):
     def __init__(self, weights: dict, cfg: DecoderConfig):
         self.cfg = cfg
-        self.weights = weights
+        # stacked scan layout: one compiled layer body instead of n_layers
+        self.weights = pack_decoder_weights(weights)
         self.cos_tab, self.sin_tab = init_rope_tables(cfg)
         self._step = jax.jit(
             functools.partial(decoder_forward, cfg=cfg),

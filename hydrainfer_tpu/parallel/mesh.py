@@ -1,0 +1,91 @@
+"""Device meshes and sharding rules — tensor parallelism the GSPMD way.
+
+This supersedes the reference's explicit TP runtime
+(reference: hydrainfer/model_parallel/process_group.py:51-95 and
+layer/linear.py:19-115 — Row/ColumnParallelLinear with manual
+scatter/all-reduce): here TP is expressed as NamedShardings on the weight
+pytree and the KV cache; XLA's SPMD partitioner inserts the collectives
+(the all-reduce after o_proj/down_proj falls out of sharding propagation),
+and they ride the ICI because the mesh axes map onto the physical torus.
+
+Sharding layout (megatron-style):
+  - qkv_proj:  columns (head dim) over 'tp'   → q/k/v heads split per chip
+  - o_proj:    rows over 'tp'                 → partial sums all-reduced
+  - gate_up:   columns over 'tp'
+  - down:      rows over 'tp'
+  - embed / lm_head: vocab axis over 'tp' (all-gather on lookup/logits)
+  - kv cache:  kv-head axis over 'tp'         → paged attention is local
+  - everything else replicated
+"""
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: Optional[int] = None,
+              axis_names: Sequence[str] = ("dp", "tp"),
+              shape: Optional[Sequence[int]] = None) -> Mesh:
+    """Mesh over the first n_devices. Default: all devices on the 'tp' axis."""
+    devices = jax.devices()
+    n = n_devices or len(devices)
+    if shape is None:
+        shape = [1] * (len(axis_names) - 1) + [n]
+    arr = np.array(devices[:n]).reshape(shape)
+    return Mesh(arr, axis_names)
+
+
+# PartitionSpecs per decoder-layer weight name (None axis = replicated)
+DECODER_WEIGHT_RULES = {
+    "qkv_proj": P(None, "tp"),
+    "qkv_bias": P("tp"),
+    "o_proj": P("tp", None),
+    "gate_up": P(None, "tp"),
+    "down": P("tp", None),
+    "input_norm": P(None),
+    "post_norm": P(None),
+}
+
+
+def replicate(tree, mesh: Mesh):
+    s = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), tree)
+
+
+def shard_decoder_weights(weights: dict, mesh: Mesh) -> dict:
+    """Places a decoder weight pytree on the mesh. Accepts both the
+    converted-checkpoint layout ({"layers": [...]}) and the packed scan
+    layout ({"layers_stack", "last_layer"}); stacked arrays get an extra
+    leading replicated (layer) axis in their spec."""
+    def put(x, spec):
+        if x is None:
+            return None
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    def stacked_spec(spec):
+        return P(*((None,) + tuple(spec)))
+
+    out = {
+        "embed": put(weights["embed"], P("tp", None)),
+        "norm": put(weights["norm"], P(None)),
+        "lm_head": put(weights["lm_head"], P(None, "tp")),
+    }
+    if "layers" in weights:
+        out["layers"] = [
+            {k: put(v, DECODER_WEIGHT_RULES[k]) for k, v in lw.items()}
+            for lw in weights["layers"]]
+    if "layers_stack" in weights:
+        out["layers_stack"] = {
+            k: put(v, stacked_spec(DECODER_WEIGHT_RULES[k]))
+            for k, v in weights["layers_stack"].items()}
+        out["last_layer"] = {
+            k: put(v, DECODER_WEIGHT_RULES[k])
+            for k, v in weights["last_layer"].items()}
+    return out
+
+
+def shard_kv_cache(cache: jax.Array, mesh: Mesh) -> jax.Array:
+    """(n_layers, 2, n_blocks, block_size, n_kv_heads, head_dim): shard the
+    kv-head axis so each chip holds its own heads' pages."""
+    return jax.device_put(cache, NamedSharding(mesh, P(None, None, None, None, "tp", None)))
