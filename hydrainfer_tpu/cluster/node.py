@@ -66,6 +66,12 @@ class NodeConfig:
     tpot_slo: float = 0.4
     step_interval_s: float = 0.001
     perf_monitor_interval_s: float = 5.0
+    # async decode pipeline depth: how many fill steps may be in flight
+    # before the host reads their sampled tokens. >=2 keeps the device busy
+    # across the host's build/dispatch gap; tokens stream out ~depth steps
+    # late. 0 restores fully synchronous stepping.
+    async_pipeline_depth: int = 2
+    token_table_size: int = 4096
 
 
 @dataclass
@@ -108,7 +114,8 @@ class AsyncEPDNode:
         self._init_caches()
         self.executor = InstructionExecutor(
             self.kv_cache_manager, self.image_cache_manager, self.worker,
-            self.model_factory)
+            self.model_factory, token_table_size=self.config.token_table_size)
+        self._pending_fills = []
 
         n_img_tokens = self.vision_config.image_token_calculator \
             .get_num_image_tokens((336, 336)) or 576
@@ -223,6 +230,9 @@ class AsyncEPDNode:
     async def step(self) -> None:
         batch = self.batch_scheduler.step()
         if len(batch) == 0:
+            # idle: drain the async pipeline so trailing tokens reach their
+            # output processors
+            self.flush_fills()
             return
 
         fills, embeds, empties, migrates, pulls = (BatchRequest() for _ in range(5))
@@ -245,13 +255,20 @@ class AsyncEPDNode:
 
         migrate_tasks = [asyncio.create_task(self._execute_batch_migrate(migrates)),
                          asyncio.create_task(self._execute_pull_cache(pulls))]
-        # device programs dispatch asynchronously; encode and fill overlap
+        # device programs dispatch asynchronously; encode and fill overlap.
+        # Fill postprocessing (the host read of sampled tokens) is deferred
+        # through a bounded pipeline so back-to-back decode steps never wait
+        # on the host — the device feeds itself through the token table.
         embed_future = self.executor.execute_image_embed(embeds) if len(embeds) \
             else self.executor.execute_empty(embeds)
-        fill_future = self.executor.execute_fill(fills)
+        if len(fills):
+            self._pending_fills.append(self.executor.execute_fill(fills))
+        else:
+            self.flush_fills()
         self.executor.execute_empty(empties)
         embed_future.get()
-        fill_future.get()
+        while len(self._pending_fills) > self.config.async_pipeline_depth:
+            self._pending_fills.pop(0).get()
         await asyncio.gather(*migrate_tasks)
 
         if self.config.log_latency_breakdown:
@@ -325,7 +342,16 @@ class AsyncEPDNode:
     # ---------------- 4-step migration protocol ----------------
     # 1. sender picks a target and hands over the RCB (with its virtual
     #    caches still pointing at the sender's blocks)
+    def flush_fills(self) -> None:
+        """Drain the async fill pipeline (resolves all sampled tokens)."""
+        while self._pending_fills:
+            self._pending_fills.pop(0).get()
+
     async def _execute_batch_migrate(self, batch: BatchRequest) -> None:
+        if len(batch):
+            # migrating RCBs leave this device: resolve their pending tokens
+            # on host first (the token table does not travel)
+            self.flush_fills()
         for rcb, inst in batch:
             rcb.step()
             assert isinstance(rcb.current_instruction(), PullCache)
@@ -396,6 +422,7 @@ class AsyncEPDNode:
             self.kv_cache_manager.realloc(rcb.virtual_kv_cache, 0)
         if rcb.virtual_image_cache is not None and self.image_cache_manager is not None:
             self.image_cache_manager.realloc(rcb.virtual_image_cache, 0)
+        self.executor.fill_executor.release_slot(rcb)
 
     def __repr__(self):
         return self.name

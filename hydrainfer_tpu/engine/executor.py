@@ -75,10 +75,20 @@ class ExecutorConfig:
     pass
 
 
+def _tokens_done(rcb) -> bool:
+    """Token-based completion (max_tokens reached or eos emitted)."""
+    sp = rcb.sampling_params
+    if len(rcb.output_token_ids) >= sp.max_tokens:
+        return True
+    return (bool(rcb.output_token_ids) and not sp.ignore_eos
+            and rcb.output_token_ids[-1] in sp.eos_token_ids)
+
+
 class FillExecutor:
     def __init__(self, kv_cache_manager: TokenCacheBlockManager,
                  image_cache_manager: Optional[TokenCacheBlockManager],
-                 worker: Worker, model_factory: ModelFactory):
+                 worker: Worker, model_factory: ModelFactory,
+                 token_table_size: int = 4096):
         self.kv = kv_cache_manager
         self.image = image_cache_manager
         self.worker = worker
@@ -86,6 +96,26 @@ class FillExecutor:
         self.language_config = model_factory.getLanguageModelConfig()
         vision_cfg = model_factory.getVisionModelConfig()
         self.image_token_id = vision_cfg.image_token_id
+        # device-resident async-decode feedback buffer: one slot per resident
+        # request, holding its latest sampled token
+        with jax.default_device(self.kv.device if self.kv else jax.devices()[0]):
+            self.token_table = jnp.zeros((token_table_size,), jnp.int32)
+            # stand-in image cache for text-only nodes (keeps the jit
+            # signature uniform)
+            self._dummy_image_cache = jnp.zeros((1, 1, 1, 1, 1, 1),
+                                                self.kv.dtype if self.kv
+                                                else jnp.bfloat16)
+        self._free_slots = list(range(token_table_size - 1, -1, -1))
+
+    def acquire_slot(self, rcb) -> None:
+        if rcb.token_slot < 0:
+            assert self._free_slots, "token table exhausted"
+            rcb.token_slot = self._free_slots.pop()
+
+    def release_slot(self, rcb) -> None:
+        if rcb.token_slot >= 0:
+            self._free_slots.append(rcb.token_slot)
+            rcb.token_slot = -1
 
     def _register_prefix_blocks(self, batch: BatchRequest) -> None:
         """Insert hashes for every block this step completes
@@ -111,34 +141,51 @@ class FillExecutor:
             return EmptyFuture()
 
         self._register_prefix_blocks(batch)
+        for rcb, _ in batch:
+            self.acquire_slot(rcb)
 
         builder = LanguageModelBatchBuilder(
             self.kv, self.image, self.language_config, self.image_token_id)
         builder.add_batch(batch)
-        plan = builder.build(self.image.cache_array if self.image else None)
+        plan = builder.build()
 
+        image_cache = (self.image.cache_array if self.image is not None
+                       else self._dummy_image_cache)
         out = self.worker.execute_language_model(
-            self.kv.cache_array, plan.batch, plan.max_q)
-        # the cache buffer was donated into the step; adopt the new one
+            self.kv.cache_array, self.token_table, jnp.asarray(plan.flat),
+            image_cache, plan.dims)
+        # cache + token table buffers were donated; adopt the new ones
         self.kv.cache_array = out.cache
+        self.token_table = out.token_table
         sampled_dev = out.sample_token_ids
         batch.step()
 
         def postprocess():
-            sampled = np.asarray(sampled_dev)  # device sync point
+            # the only host↔device sync in the fill path — the node runs it
+            # a few steps behind dispatch (async pipeline), so the device
+            # never waits on the host between decode steps
+            sampled = np.asarray(sampled_dev)
             token_time = time.perf_counter()
             for i, (rcb, inst) in enumerate(zip(plan.seq_rcbs, plan.seq_insts)):
                 if not inst.sample:
                     continue
                 next_token = int(sampled[i])
-                if not inst.is_chunked:
-                    rcb.metric.token_times.append(token_time)
-                    rcb.output_token_ids.append(next_token)
                 if inst.sample_dst is not None:
+                    # resolve on host too (migration and debugging read this)
                     inst.sample_dst.token_ids = [next_token]
                 if inst.is_chunked:
                     continue
-                is_last = rcb.is_finished()
+                # Termination is decided from TOKEN state only: under the
+                # async pipeline the instruction cursor runs 1-2 steps ahead
+                # of token postprocessing, so rcb.is_finished() (which also
+                # looks at the cursor) would fire early here — and a request
+                # may have surplus in-flight steps after its terminating
+                # token, which must be dropped.
+                if _tokens_done(rcb):
+                    continue
+                rcb.metric.token_times.append(token_time)
+                rcb.output_token_ids.append(next_token)
+                is_last = _tokens_done(rcb)
                 for proc in rcb.output_token_processors:
                     proc.append_token_id(next_token, is_last)
 
@@ -193,9 +240,10 @@ class InstructionExecutor:
     (reference: executor.py:267-299)."""
 
     def __init__(self, kv_cache_manager, image_cache_manager, worker,
-                 model_factory):
+                 model_factory, token_table_size: int = 4096):
         self.fill_executor = FillExecutor(kv_cache_manager, image_cache_manager,
-                                          worker, model_factory)
+                                          worker, model_factory,
+                                          token_table_size=token_table_size)
         self.image_embed_executor = (
             ImageEmbedExecutor(image_cache_manager, worker, model_factory)
             if image_cache_manager is not None else None)

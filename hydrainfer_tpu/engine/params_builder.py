@@ -40,14 +40,19 @@ def _next_pow2(n: int) -> int:
 
 @dataclass
 class FillBatchPlan:
-    """Host-side companion of a LanguageModelBatch: which seq slot belongs to
-    which request, and whether its sampled token is consumable."""
-    batch: LanguageModelBatch
-    max_q: int
-    seq_rcbs: List[RequestControlBlock]          # per used seq slot
+    """Host-side companion of a packed fill batch: the single flat int32
+    buffer, its static dims (the jit key), and which seq slot belongs to
+    which request."""
+    flat: np.ndarray
+    dims: object                                  # models.factory.FillDims
+    seq_rcbs: List[RequestControlBlock]           # per used seq slot
     seq_insts: List[Fill]
     n_tokens: int
     n_seqs: int
+
+    @property
+    def max_q(self) -> int:
+        return self.dims.max_q
 
 
 class LanguageModelBatchBuilder:
@@ -61,6 +66,7 @@ class LanguageModelBatchBuilder:
         self.image_token_id = image_token_id
 
         self.token_ids: List[int] = []
+        self.token_src_slots: List[int] = []
         self.positions: List[int] = []
         self.new_slots: List[int] = []
         self.q_seq_ids: List[int] = []
@@ -75,7 +81,7 @@ class LanguageModelBatchBuilder:
     def add(self, rcb: RequestControlBlock, inst: Fill) -> None:
         s = len(self.seq_rcbs)
         t0 = len(self.token_ids)
-        n = len(inst.token_ids)
+        n = len(inst.position_ids)
 
         if isinstance(inst, ImageEmbedFill) and inst.image_token_cache_ids:
             slots = self.image.v2p(rcb.virtual_image_cache,
@@ -84,7 +90,15 @@ class LanguageModelBatchBuilder:
             self.image_dst_idx.extend(
                 t0 + i for i, is_img in enumerate(inst.image_token_mask) if is_img)
 
-        self.token_ids.extend(inst.token_ids)
+        if n == 1 and inst.token_ids[0] < 0:
+            # unresolved decode token: the device token table feeds it
+            # (async decode — no host sync between producer and consumer)
+            assert rcb.token_slot >= 0, "decode fill without a token slot"
+            self.token_ids.append(0)
+            self.token_src_slots.append(rcb.token_slot)
+        else:
+            self.token_ids.extend(inst.token_ids)
+            self.token_src_slots.extend([-1] * n)
         self.positions.extend(inst.position_ids)
         self.new_slots.extend(self.kv.v2p(rcb.virtual_kv_cache, inst.cache_ids))
         self.q_seq_ids.extend([s] * n)
@@ -100,7 +114,9 @@ class LanguageModelBatchBuilder:
             if isinstance(inst, Fill):
                 self.add(rcb, inst)
 
-    def build(self, image_cache_array=None) -> FillBatchPlan:
+    def build(self) -> FillBatchPlan:
+        from ..models.factory import FillDims, pack_fill_batch
+
         n_tokens = len(self.token_ids)
         n_seqs = len(self.seq_rcbs)
         T = bucket_of(n_tokens, TOKEN_BUCKETS)
@@ -109,6 +125,9 @@ class LanguageModelBatchBuilder:
                                default=1))
         max_blocks = _next_pow2(max((len(bt) for bt in self.block_tables),
                                     default=1))
+        n_img = len(self.image_slot_ids)
+        Ti = bucket_of(n_img, TOKEN_BUCKETS) if n_img else 0
+        dims = FillDims(T=T, S=S, MB=max_blocks, Ti=Ti, max_q=max_q)
 
         def pad_i32(vals, size, fill=0):
             a = np.full(size, fill, np.int32)
@@ -119,45 +138,31 @@ class LanguageModelBatchBuilder:
         for i, bt in enumerate(self.block_tables):
             tables[i, :len(bt)] = bt
 
-        attention = PagedAttentionParams(
-            q_seq_ids=jnp.asarray(pad_i32(self.q_seq_ids, T, fill=-1)),
-            q_local_ids=jnp.asarray(pad_i32(self.q_local_ids, T)),
-            positions=jnp.asarray(pad_i32(self.positions, T)),
-            kv_lens=jnp.asarray(pad_i32(self.kv_lens, S)),
-            block_tables=jnp.asarray(tables),
-            new_kv_slot_ids=jnp.asarray(pad_i32(self.new_slots, T, fill=-1)),
-        )
-
-        # vision features spliced into the embedding: gather from image cache
-        n_img = len(self.image_slot_ids)
-        hidden = self.lcfg.hidden_size
-        if n_img:
-            Ti = bucket_of(n_img, TOKEN_BUCKETS)
-            slots = pad_i32(self.image_slot_ids, Ti)
-            flat = image_cache_array[0, 0].reshape(-1, image_cache_array.shape[-2]
-                                                   * image_cache_array.shape[-1])
-            feats = jnp.take(flat, jnp.asarray(slots), axis=0)[:, :hidden]
-            dst = jnp.asarray(pad_i32(self.image_dst_idx, Ti, fill=-1))
-        else:
-            feats = jnp.zeros((0, hidden), jnp.float32)
-            dst = jnp.zeros((0,), jnp.int32)
-
         # every used seq slot samples its chunk's last token; the executor
         # decides host-side which samples are consumable
         sample_idx = np.full(S, -1, np.int32)
+        dst_slots = np.full(S, -1, np.int32)
         t = 0
         for i, inst in enumerate(self.seq_insts):
             t += len(inst.token_ids)
             sample_idx[i] = t - 1
+            if inst.sample and inst.sample_dst is not None:
+                dst_slots[i] = self.seq_rcbs[i].token_slot
 
-        batch = LanguageModelBatch(
-            token_ids=jnp.asarray(pad_i32(self.token_ids, T)),
-            positions=jnp.asarray(pad_i32(self.positions, T)),
-            image_features=feats,
-            image_dst_idx=dst,
-            attention=attention,
-            sample_token_idx=jnp.asarray(sample_idx),
-        )
-        return FillBatchPlan(batch=batch, max_q=max_q, seq_rcbs=self.seq_rcbs,
+        flat = pack_fill_batch(
+            token_ids=pad_i32(self.token_ids, T),
+            positions=pad_i32(self.positions, T),
+            q_seq_ids=pad_i32(self.q_seq_ids, T, fill=-1),
+            q_local_ids=pad_i32(self.q_local_ids, T),
+            new_kv_slot_ids=pad_i32(self.new_slots, T, fill=-1),
+            token_src_slots=pad_i32(self.token_src_slots, T, fill=-1),
+            kv_lens=pad_i32(self.kv_lens, S),
+            sample_token_idx=sample_idx,
+            sample_dst_slots=dst_slots,
+            block_tables=tables,
+            image_slot_ids=pad_i32(self.image_slot_ids, Ti),
+            image_dst_idx=pad_i32(self.image_dst_idx, Ti, fill=-1),
+            dims=dims)
+        return FillBatchPlan(flat=flat, dims=dims, seq_rcbs=self.seq_rcbs,
                              seq_insts=self.seq_insts, n_tokens=n_tokens,
                              n_seqs=n_seqs)

@@ -17,6 +17,9 @@ class RequestControlBlock:
         self.virtual_kv_cache: Optional[VirtualTokenCache] = None
         self.virtual_image_cache: Optional[VirtualTokenCache] = None
         self.sid: int = -1
+        # device token-table slot for async decode feedback (assigned by the
+        # fill executor while the request is resident on a node)
+        self.token_slot: int = -1
         self.output_token_processors: list = []
         self.output_token_params = None
         self.output_token_ids: List[int] = []

@@ -199,7 +199,9 @@ class RequestProcessor:
         # pre-create all decode Fills, chained via sample_dst
         last = prefill
         for i in range(n_prompt, n_prompt + request.sampling_params.max_tokens - 1):
-            decode = TextFill(token_ids=None, position_ids=[positions[i]],
+            # -1 placeholder: resolved on device via the token table, and on
+            # host (late) by the producer step's postprocess
+            decode = TextFill(token_ids=[-1], position_ids=[positions[i]],
                               cache_ids=[positions[i]], sample=True,
                               sample_dst=None, hashes=None)
             builder.append(decode)

@@ -23,7 +23,7 @@ class Worker:
     def execute_vision_model(self, pixel_values, params) -> VisionModelOutput:
         raise NotImplementedError
 
-    def execute_language_model(self, cache, batch, max_q: int):
+    def execute_language_model(self, cache, token_table, flat, image_cache, dims):
         raise NotImplementedError
 
 
@@ -38,5 +38,6 @@ class VanillaWorker(Worker):
                              params: VisionModelParameters) -> VisionModelOutput:
         return self.vision_model.forward(pixel_values, params)
 
-    def execute_language_model(self, cache, batch, max_q: int):
-        return self.language_model.forward(cache, batch, max_q)
+    def execute_language_model(self, cache, token_table, flat, image_cache, dims):
+        return self.language_model.forward_flat(cache, token_table, flat,
+                                                image_cache, dims)

@@ -103,15 +103,27 @@ def _layer_body(x, cache, layer_id, lw, batch: LanguageModelBatch,
 def decoder_forward(weights: dict, cache: jax.Array, batch: LanguageModelBatch,
                     cos_tab: jax.Array, sin_tab: jax.Array, cfg: DecoderConfig,
                     max_q: int, input_embeds: Optional[jax.Array] = None,
-                    return_logits: bool = False):
-    """Full LM step. Returns (cache, sampled_token_ids[, logits]).
+                    return_logits: bool = False,
+                    token_table: Optional[jax.Array] = None):
+    """Full LM step. Returns (cache, token_table, sampled_token_ids[, logits]).
 
     weights layout: {"embed", "layers_stack" (stacked first n_layers-1),
     "last_layer" (dict), "norm", "lm_head"} — see LlamaForCausalLM which
     stacks the converted per-layer weights at init.
+
+    token_table is the device-resident async-decode feedback buffer: decode
+    tokens are gathered from it (token_src_slots) and sampled tokens are
+    scattered back (sample_dst_slots) — the host never sits between a
+    sampled token and the step that consumes it.
     """
+    if token_table is None:
+        token_table = jnp.zeros((1,), jnp.int32)
+    token_ids = batch.token_ids
+    src = batch.token_src_slots
+    token_ids = jnp.where(
+        src >= 0, jnp.take(token_table, jnp.maximum(src, 0), axis=0), token_ids)
     if input_embeds is None:
-        x = jnp.take(weights["embed"], batch.token_ids, axis=0)
+        x = jnp.take(weights["embed"], token_ids, axis=0)
         # splice vision features over <image> positions; padded dst (-1) maps
         # to the out-of-bounds index T so mode='drop' actually drops it
         # (negative indices would wrap numpy-style)
@@ -163,6 +175,10 @@ def decoder_forward(weights: dict, cache: jax.Array, batch: LanguageModelBatch,
     h = rms_norm(x, weights["norm"], cfg.rms_norm_eps)
     logits = jnp.dot(h, weights["lm_head"], preferred_element_type=jnp.float32)
     tokens = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    dst = batch.sample_dst_slots
+    dst = jnp.where(dst < 0, token_table.shape[0], dst)  # OOB positive drops
+    token_table = token_table.at[dst].set(tokens, mode="drop")
     if return_logits:
-        return cache, tokens, logits
-    return cache, tokens
+        return cache, token_table, tokens, logits
+    return cache, token_table, tokens

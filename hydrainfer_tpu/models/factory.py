@@ -73,6 +73,12 @@ class LanguageModelBatch:
     attention:        PagedAttentionParams for every layer
     sample_token_idx: (S,) int32 flat-token index whose logits are sampled
                       per sequence; -1 = this slot samples nothing
+    token_src_slots:  (T,) int32 device token-table slot to read this token
+                      from (-1 = token_ids already holds it). This is the
+                      async-decode feedback path: a decode step consumes the
+                      previous step's sampled token without a host sync.
+    sample_dst_slots: (S,) int32 token-table slot receiving the sampled
+                      token (-1 = discard)
     """
     token_ids: jax.Array
     positions: jax.Array
@@ -80,12 +86,87 @@ class LanguageModelBatch:
     image_dst_idx: jax.Array
     attention: PagedAttentionParams
     sample_token_idx: jax.Array
+    token_src_slots: jax.Array
+    sample_dst_slots: jax.Array
 
 
 @dataclass
 class LanguageModelOutput:
     sample_token_ids: jax.Array = None  # (S,) int32
     cache: jax.Array = None             # the updated (donated) kv cache
+    token_table: jax.Array = None       # the updated (donated) token table
+
+
+@dataclass(frozen=True)
+class FillDims:
+    """Static shape key of one fill batch (the jit-cache key)."""
+    T: int          # padded token count
+    S: int          # padded sequence count
+    MB: int         # padded blocks-per-seq
+    Ti: int         # padded image-feature token count
+    max_q: int      # padded longest q chunk
+
+
+def pack_fill_batch(token_ids, positions, q_seq_ids, q_local_ids,
+                    new_kv_slot_ids, token_src_slots, kv_lens,
+                    sample_token_idx, sample_dst_slots, block_tables,
+                    image_slot_ids, image_dst_idx, dims: FillDims):
+    """Host side: concatenate every int32 field of a fill batch into ONE
+    flat buffer, so each engine step costs a single H2D transfer instead of
+    ~10 (small transfers serialize with compute on the device stream)."""
+    import numpy as np
+    parts = [token_ids, positions, q_seq_ids, q_local_ids, new_kv_slot_ids,
+             token_src_slots, kv_lens, sample_token_idx, sample_dst_slots,
+             block_tables.reshape(-1), image_slot_ids, image_dst_idx]
+    return np.concatenate([np.asarray(p, np.int32) for p in parts])
+
+
+def unpack_fill_batch(flat: jax.Array, image_cache: jax.Array,
+                      dims: FillDims, hidden: int) -> "LanguageModelBatch":
+    """Device side (inside jit): slice the flat buffer back into the batch
+    and gather the vision features for this chunk from the image cache."""
+    T, S, MB, Ti = dims.T, dims.S, dims.MB, dims.Ti
+    o = 0
+    def take(n):
+        nonlocal o
+        out = jax.lax.dynamic_slice_in_dim(flat, o, n)
+        o += n
+        return out
+    token_ids = take(T)
+    positions = take(T)
+    q_seq_ids = take(T)
+    q_local_ids = take(T)
+    new_kv_slot_ids = take(T)
+    token_src_slots = take(T)
+    kv_lens = take(S)
+    sample_token_idx = take(S)
+    sample_dst_slots = take(S)
+    block_tables = take(S * MB).reshape(S, MB)
+    image_slot_ids = take(Ti)
+    image_dst_idx = take(Ti)
+
+    if Ti > 0:
+        flat_cache = image_cache[0, 0].reshape(
+            -1, image_cache.shape[-2] * image_cache.shape[-1])
+        feats = jnp.take(flat_cache, jnp.maximum(image_slot_ids, 0),
+                         axis=0)[:, :hidden]
+    else:
+        feats = jnp.zeros((0, hidden), image_cache.dtype)
+
+    from ..ops.attention import PagedAttentionParams
+    return LanguageModelBatch(
+        token_ids=token_ids,
+        positions=positions,
+        image_features=feats,
+        image_dst_idx=image_dst_idx,
+        attention=PagedAttentionParams(
+            q_seq_ids=q_seq_ids, q_local_ids=q_local_ids, positions=positions,
+            kv_lens=kv_lens, block_tables=block_tables,
+            new_kv_slot_ids=new_kv_slot_ids),
+        sample_token_idx=sample_token_idx,
+        token_src_slots=token_src_slots,
+        sample_dst_slots=sample_dst_slots,
+    )
 
 
 class VisionModel:
@@ -95,8 +176,8 @@ class VisionModel:
 
 
 class LanguageModel:
-    def forward(self, cache: jax.Array, batch: LanguageModelBatch,
-                max_q: int) -> LanguageModelOutput:
+    def forward(self, cache: jax.Array, token_table: jax.Array,
+                batch: LanguageModelBatch, max_q: int) -> LanguageModelOutput:
         raise NotImplementedError
 
 

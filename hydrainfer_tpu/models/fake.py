@@ -62,14 +62,28 @@ class FakeLanguageModel(LanguageModel):
         self.weights = {}
         self._rng = np.random.default_rng(0)
 
-    def forward(self, cache, batch: LanguageModelBatch, max_q: int) -> LanguageModelOutput:
+    def forward(self, cache, token_table, batch: LanguageModelBatch,
+                max_q: int) -> LanguageModelOutput:
         n_seqs = batch.sample_token_idx.shape[0]
         # deterministic but varied: derive from batch content
         seed = int(np.asarray(batch.token_ids).sum()) % (2 ** 31)
         tokens = np.random.default_rng(seed).integers(
             10, self.cfg.vocab_size, size=(n_seqs,), dtype=np.int32)
+        tokens = jnp.asarray(tokens)
+        if token_table is not None:
+            dst = jnp.where(batch.sample_dst_slots < 0, token_table.shape[0],
+                            batch.sample_dst_slots)
+            token_table = token_table.at[dst].set(tokens, mode="drop")
         return LanguageModelOutput(
-            sample_token_ids=jnp.asarray(tokens), cache=cache)
+            sample_token_ids=tokens, cache=cache, token_table=token_table)
+
+    def forward_flat(self, cache, token_table, flat, image_cache, dims
+                     ) -> LanguageModelOutput:
+        seed = int(np.asarray(flat[:dims.T]).sum()) % (2 ** 31)
+        tokens = np.random.default_rng(seed).integers(
+            10, self.cfg.vocab_size, size=(dims.S,), dtype=np.int32)
+        return LanguageModelOutput(sample_token_ids=jnp.asarray(tokens),
+                                   cache=cache, token_table=token_table)
 
 
 class FakeImageProcessor(ImageProcessor):

@@ -75,18 +75,44 @@ class LlamaForCausalLM(LanguageModel):
         self._step = jax.jit(
             functools.partial(decoder_forward, cfg=cfg),
             static_argnames=("max_q", "return_logits"),
-            donate_argnums=(1,),
+            donate_argnames=("cache", "token_table"),
         )
 
-    def forward(self, cache: jax.Array, batch: LanguageModelBatch,
-                max_q: int) -> LanguageModelOutput:
-        cache, tokens = self._step(self.weights, cache, batch,
-                                   self.cos_tab, self.sin_tab, max_q=max_q)
-        return LanguageModelOutput(sample_token_ids=tokens, cache=cache)
+        def _flat_fn(weights, cache, token_table, flat, image_cache,
+                     cos_tab, sin_tab, dims):
+            from .factory import unpack_fill_batch
+            batch = unpack_fill_batch(flat, image_cache, dims, cfg.hidden_size)
+            return decoder_forward(weights, cache, batch, cos_tab, sin_tab,
+                                   cfg, dims.max_q, token_table=token_table)
+
+        # engine hot path: the whole batch arrives as ONE flat int32 buffer
+        # (single H2D transfer) and is unpacked on device
+        self._flat_step = jax.jit(
+            _flat_fn, static_argnames=("dims",),
+            donate_argnames=("cache", "token_table"))
+
+    def forward(self, cache: jax.Array, token_table: jax.Array,
+                batch: LanguageModelBatch, max_q: int) -> LanguageModelOutput:
+        cache, token_table, tokens = self._step(
+            self.weights, cache, batch, self.cos_tab, self.sin_tab,
+            max_q=max_q, token_table=token_table)
+        return LanguageModelOutput(sample_token_ids=tokens, cache=cache,
+                                   token_table=token_table)
+
+    def forward_flat(self, cache: jax.Array, token_table: jax.Array,
+                     flat: jax.Array, image_cache: jax.Array,
+                     dims) -> LanguageModelOutput:
+        cache, token_table, tokens = self._flat_step(
+            self.weights, cache, token_table, flat, image_cache,
+            self.cos_tab, self.sin_tab, dims=dims)
+        return LanguageModelOutput(sample_token_ids=tokens, cache=cache,
+                                   token_table=token_table)
 
     def forward_with_logits(self, cache, batch, max_q: int,
                             input_embeds: Optional[jax.Array] = None):
         """Test/debug path: also returns fp32 logits at the sampled rows."""
-        return self._step(self.weights, cache, batch, self.cos_tab,
-                          self.sin_tab, max_q=max_q,
-                          input_embeds=input_embeds, return_logits=True)
+        cache, _, tokens, logits = self._step(
+            self.weights, cache, batch, self.cos_tab, self.sin_tab,
+            max_q=max_q, input_embeds=input_embeds, return_logits=True,
+            token_table=jnp.zeros((1,), jnp.int32))
+        return cache, tokens, logits

@@ -48,6 +48,8 @@ def make_single_seq_batch(chunk_tokens, n_past, block_size=4):
             new_kv_slot_ids=jnp.arange(n_past, kv_len, dtype=jnp.int32),
         ),
         sample_token_idx=jnp.asarray([T - 1], jnp.int32),
+        token_src_slots=jnp.full((T,), -1, jnp.int32),
+        sample_dst_slots=jnp.full((1,), -1, jnp.int32),
     ), T
 
 

@@ -96,6 +96,8 @@ def test_multimodal_prefill_logits_match_hf(tiny_llava):
             new_kv_slot_ids=jnp.arange(T, dtype=jnp.int32),
         ),
         sample_token_idx=jnp.asarray([T - 1], jnp.int32),
+        token_src_slots=jnp.full((T,), -1, jnp.int32),
+        sample_dst_slots=jnp.full((1,), -1, jnp.int32),
     )
     cache, tokens, logits = lm.forward_with_logits(cache, batch, max_q=T)
 
