@@ -1,0 +1,130 @@
+"""Cluster: the data-parallel control plane over EPD nodes.
+
+Behavioral parity with the reference cluster (reference:
+hydrainfer/cluster/cluster.py:52-183): spawn node replicas per node type,
+wire the migrate graph, route incoming requests to encode-capable nodes
+(image requests) or prefill-capable nodes (text requests) via round-robin
+balancers.
+
+Single-controller re-design: nodes are in-process asyncio actors bound to
+device subsets instead of Ray actors in their own processes; there is no
+NCCL world to rendezvous — the controller already owns every chip. The
+`cluster_type` presets mirror the reference's auto/general/hybrid/single
+heuristics over the visible chip count (reference: cluster.py:63-84).
+"""
+import asyncio
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import jax
+
+from ..engine.request_processor import RequestProcessParameters
+from ..entrypoint.api_server import RequestObserver
+from ..models.factory import ModelFactory
+from ..request import Request
+from ..utils.logger import getLogger
+from .loadbalancer import LoadBalancer, LoadBalancerConfig
+from .migrate import MigrateGraphBuilder, NodeType
+from .node import AsyncEPDNode, NodeConfig, NodeContext
+
+logger = getLogger(__name__)
+
+
+@dataclass
+class NodeSpec:
+    node_type: str = "EPD"
+    n_replicas: int = 1
+    tpot_slo: float = 0.4
+
+
+@dataclass
+class ClusterConfig:
+    cluster_type: str = "auto"          # auto | general | hybrid | single
+    nodes: List[NodeSpec] = field(default_factory=list)
+    node: NodeConfig = field(default_factory=NodeConfig)
+
+
+def resolve_cluster_topology(cluster_type: str, n_devices: int) -> List[NodeSpec]:
+    """Preset → node specs (reference: cluster.py:63-84 heuristics)."""
+    if cluster_type == "single" or n_devices == 1:
+        return [NodeSpec("EPD", 1)]
+    if cluster_type == "general":
+        # dedicated stages: 1 encode, 1 prefill, rest decode
+        n_d = max(1, n_devices - 2)
+        return [NodeSpec("E", 1), NodeSpec("P", 1), NodeSpec("D", n_d)]
+    if cluster_type == "hybrid":
+        # hybrid EP nodes + dedicated decode
+        n_ep = max(1, n_devices // 2)
+        return [NodeSpec("EP", n_ep), NodeSpec("D", n_devices - n_ep)]
+    # auto
+    if n_devices == 2:
+        return [NodeSpec("EP", 1), NodeSpec("D", 1)]
+    if n_devices == 3:
+        return [NodeSpec("E", 1), NodeSpec("P", 1), NodeSpec("D", 1)]
+    return [NodeSpec("E", 1), NodeSpec("P", (n_devices - 1) // 2),
+            NodeSpec("D", n_devices - 1 - (n_devices - 1) // 2)]
+
+
+class Cluster(RequestObserver):
+    def __init__(self, config: ClusterConfig,
+                 model_factory: Optional[ModelFactory] = None,
+                 devices: Optional[list] = None):
+        self.config = config
+        devices = devices if devices is not None else jax.devices()
+        specs = config.nodes or resolve_cluster_topology(
+            config.cluster_type, len(devices))
+
+        self.nodes: List[AsyncEPDNode] = []
+        dev_idx = 0
+        for spec in specs:
+            for r in range(spec.n_replicas):
+                name = f"{spec.node_type.lower()}{r}"
+                device = devices[dev_idx % len(devices)]
+                dev_idx += 1
+                node = AsyncEPDNode(config.node, NodeContext(
+                    name=name, node_type=NodeType(spec.node_type),
+                    device=device))
+                node.spec = spec
+                self.nodes.append(node)
+
+        for node in self.nodes:
+            node.init(model_factory)
+
+        builder = MigrateGraphBuilder()
+        for node in self.nodes:
+            builder.add_node(node.name, node.context.node_type, node,
+                             tpot_slo=node.spec.tpot_slo)
+        graph = builder.build_graph()
+        for node in self.nodes:
+            node.update_migrate_graph(graph)
+
+        # request entry balancers (reference: cluster.py:178-183)
+        self.ebalancer = LoadBalancer(LoadBalancerConfig("round"))
+        self.pbalancer = LoadBalancer(LoadBalancerConfig("round"))
+        for node in self.nodes:
+            if node.context.node_type.can_encode:
+                self.ebalancer.register_worker(node)
+            if node.context.node_type.can_prefill:
+                self.pbalancer.register_worker(node)
+        assert len(self.pbalancer), "cluster has no prefill-capable node"
+        logger.info(f"cluster up: {[n.name for n in self.nodes]}")
+
+    async def add_request(self, request: Request,
+                          params: RequestProcessParameters) -> None:
+        has_image = request.image is not None or request.image_base64 is not None
+        balancer = (self.ebalancer if has_image and len(self.ebalancer)
+                    else self.pbalancer)
+        node = balancer.choice()
+        await node.add_request(request, params)
+
+    async def start(self) -> None:
+        for node in self.nodes:
+            await node.start()
+
+    async def stop(self) -> None:
+        for node in self.nodes:
+            await node.stop()
+
+    async def step_all(self) -> None:
+        """Manually step every node once (test/driver mode)."""
+        await asyncio.gather(*(node.step() for node in self.nodes))
