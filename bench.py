@@ -44,15 +44,16 @@ class _NoImages(ImageTokenCalculator):
 
 
 class RandomWeightFactory(ModelFactory):
-    def __init__(self, arch: str, dtype=jnp.bfloat16):
+    def __init__(self, arch: str, dtype=jnp.bfloat16, quantization: str = "none"):
         self.cfg = ARCH_CONFIGS[arch]
         self.dtype = dtype
+        self.quantization = quantization
         self._lm = None
 
     def getLanguageModel(self):
         if self._lm is None:
             w = init_decoder_weights(self.cfg, jax.random.PRNGKey(0), self.dtype)
-            self._lm = LlamaForCausalLM(w, self.cfg)
+            self._lm = LlamaForCausalLM(w, self.cfg, self.quantization)
         return self._lm
 
     def getVisionModel(self):
@@ -81,8 +82,8 @@ class RandomWeightFactory(ModelFactory):
 
 
 def run_bench(arch: str, n_requests: int, prompt_len: int, max_tokens: int,
-              token_budget: int):
-    factory = RandomWeightFactory(arch)
+              token_budget: int, quantization: str = "none"):
+    factory = RandomWeightFactory(arch, quantization=quantization)
     cfg = NodeConfig(
         batch_scheduler=BatchSchedulerConfig(
             max_running_requests=n_requests, priority="prefill"),
@@ -127,7 +128,7 @@ def run_bench(arch: str, n_requests: int, prompt_len: int, max_tokens: int,
     for o in outs:
         tbts.extend(np.diff(o.token_times))
     return {
-        "metric": f"engine_decode_tokens_per_s_per_chip_{arch}_bf16",
+        "metric": f"engine_decode_tokens_per_s_per_chip_{arch}_" + (quantization if quantization != "none" else "bf16"),
         "value": round(tput, 2),
         "unit": "tokens/s",
         "vs_baseline": round(tput / roofline, 4),
@@ -149,9 +150,10 @@ def main():
     ap.add_argument("--prompt-len", type=int, default=128)
     ap.add_argument("--max-tokens", type=int, default=128)
     ap.add_argument("--token-budget", type=int, default=2048)
+    ap.add_argument("--quant", default="none", choices=["none", "int8", "int4"])
     args = ap.parse_args()
     result = run_bench(args.arch, args.n_requests, args.prompt_len,
-                       args.max_tokens, args.token_budget)
+                       args.max_tokens, args.token_budget, args.quant)
     print(json.dumps(result))
 
 

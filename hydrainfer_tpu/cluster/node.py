@@ -158,11 +158,13 @@ class AsyncEPDNode:
             image_block_size = self.vision_config.image_token_calculator \
                 .get_num_image_tokens((336, 336)) or 576
 
+        # combined-head layout (K even / V odd on one head axis) — the
+        # native layout of the TPU ragged paged attention kernel
         kv_cfg = TokenCacheBlockManagerConfig(
-            n_layers=lc.n_layers, n_tensors=2,
+            n_layers=lc.n_layers, n_tensors=1,
             n_blocks=max(self.config.n_kv_blocks, 1),
             block_size=self.config.kv_block_size,
-            n_heads=lc.n_kv_heads, head_dim=lc.head_dim,
+            n_heads=2 * lc.n_kv_heads, head_dim=lc.head_dim,
             dtype=self.config.model.dtype)
         img_cfg = TokenCacheBlockManagerConfig(
             n_layers=1, n_tensors=1,

@@ -149,7 +149,16 @@ class LanguageModelBatchBuilder:
             if inst.sample and inst.sample_dst is not None:
                 dst_slots[i] = self.seq_rcbs[i].token_slot
 
+        cu = np.zeros(S + 1, np.int32)
+        acc = 0
+        for i, inst in enumerate(self.seq_insts):
+            acc += len(inst.token_ids)
+            cu[i + 1] = acc
+        cu[len(self.seq_insts) + 1:] = acc
+
         flat = pack_fill_batch(
+            cu_q_lens=cu,
+            num_seqs=np.asarray([n_seqs], np.int32),
             token_ids=pad_i32(self.token_ids, T),
             positions=pad_i32(self.positions, T),
             q_seq_ids=pad_i32(self.q_seq_ids, T, fill=-1),

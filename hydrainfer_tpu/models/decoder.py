@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.activation import silu_and_mul
+from ..ops.quant import qmatmul, qmatmul_f32
 from ..ops.attention import paged_attention
 from ..ops.cache_ops import write_kv_cache
 from ..ops.norm import rms_norm
@@ -55,10 +56,13 @@ def init_rope_tables(cfg: DecoderConfig):
 
 
 def stack_layer_weights(layers: list) -> dict:
-    """List of per-layer dicts → dict of arrays stacked on a leading layer
-    axis (for lax.scan). None-valued entries (absent biases) are dropped."""
+    """List of per-layer dicts → dict of pytrees stacked on a leading layer
+    axis (for lax.scan). Handles plain arrays and QuantizedTensor leaves;
+    None-valued entries (absent biases) are dropped."""
     keys = [k for k, v in layers[0].items() if v is not None]
-    return {k: jnp.stack([lw[k] for lw in layers]) for k in keys}
+    return {k: jax.tree_util.tree_map(lambda *xs: jnp.stack(xs),
+                                      *[lw[k] for lw in layers])
+            for k in keys}
 
 
 def pack_decoder_weights(weights: dict) -> dict:
@@ -80,7 +84,7 @@ def _layer_body(x, cache, layer_id, lw, batch: LanguageModelBatch,
     Hq, Hkv, D = cfg.n_qo_heads, cfg.n_kv_heads, cfg.head_dim
 
     h = rms_norm(x, lw["input_norm"], cfg.rms_norm_eps)
-    qkv = h @ lw["qkv_proj"]
+    qkv = qmatmul(h, lw["qkv_proj"])
     if "qkv_bias" in lw:
         qkv = qkv + lw["qkv_bias"]
     q, k, v = jnp.split(qkv, [Hq * D, (Hq + Hkv) * D], axis=-1)
@@ -93,10 +97,10 @@ def _layer_body(x, cache, layer_id, lw, batch: LanguageModelBatch,
                            k, v, block_size)
     attn = paged_attention(q, cache, layer_id, batch.attention,
                            1.0 / (D ** 0.5), max_q, impl=cfg.attention_impl)
-    x = x + attn.reshape(T, Hq * D) @ lw["o_proj"]
+    x = x + qmatmul(attn.reshape(T, Hq * D), lw["o_proj"])
 
     h = rms_norm(x, lw["post_norm"], cfg.rms_norm_eps)
-    mlp = silu_and_mul(h @ lw["gate_up"]) @ lw["down"]
+    mlp = qmatmul(silu_and_mul(qmatmul(h, lw["gate_up"])), lw["down"])
     return x + mlp, cache
 
 
@@ -156,7 +160,7 @@ def decoder_forward(weights: dict, cache: jax.Array, batch: LanguageModelBatch,
     T = x.shape[0]
     Hq, Hkv, D = cfg.n_qo_heads, cfg.n_kv_heads, cfg.head_dim
     h = rms_norm(x, lw["input_norm"], cfg.rms_norm_eps)
-    qkv = h @ lw["qkv_proj"]
+    qkv = qmatmul(h, lw["qkv_proj"])
     if "qkv_bias" in lw:
         qkv = qkv + lw["qkv_bias"]
     q, k, v = jnp.split(qkv, [Hq * D, (Hq + Hkv) * D], axis=-1)
@@ -167,13 +171,13 @@ def decoder_forward(weights: dict, cache: jax.Array, batch: LanguageModelBatch,
                            v.reshape(T, Hkv, D), cache.shape[3])
     attn = paged_attention(q, cache, cfg.n_layers - 1, batch.attention,
                            1.0 / (D ** 0.5), max_q, impl=cfg.attention_impl)
-    x = x + attn.reshape(T, Hq * D) @ lw["o_proj"]
+    x = x + qmatmul(attn.reshape(T, Hq * D), lw["o_proj"])
     x = jnp.take(x, sample_idx, axis=0)                  # token discard
     h = rms_norm(x, lw["post_norm"], cfg.rms_norm_eps)
-    x = x + silu_and_mul(h @ lw["gate_up"]) @ lw["down"]
+    x = x + qmatmul(silu_and_mul(qmatmul(h, lw["gate_up"])), lw["down"])
 
     h = rms_norm(x, weights["norm"], cfg.rms_norm_eps)
-    logits = jnp.dot(h, weights["lm_head"], preferred_element_type=jnp.float32)
+    logits = qmatmul_f32(h, weights["lm_head"])
     tokens = jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
     dst = batch.sample_dst_slots

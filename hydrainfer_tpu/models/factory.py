@@ -110,14 +110,20 @@ class FillDims:
 def pack_fill_batch(token_ids, positions, q_seq_ids, q_local_ids,
                     new_kv_slot_ids, token_src_slots, kv_lens,
                     sample_token_idx, sample_dst_slots, block_tables,
-                    image_slot_ids, image_dst_idx, dims: FillDims):
+                    image_slot_ids, image_dst_idx, dims: FillDims,
+                    cu_q_lens=None, num_seqs=None):
     """Host side: concatenate every int32 field of a fill batch into ONE
     flat buffer, so each engine step costs a single H2D transfer instead of
     ~10 (small transfers serialize with compute on the device stream)."""
     import numpy as np
+    if cu_q_lens is None:
+        cu_q_lens = np.zeros(dims.S + 1, np.int32)
+    if num_seqs is None:
+        num_seqs = np.asarray([dims.S], np.int32)
     parts = [token_ids, positions, q_seq_ids, q_local_ids, new_kv_slot_ids,
              token_src_slots, kv_lens, sample_token_idx, sample_dst_slots,
-             block_tables.reshape(-1), image_slot_ids, image_dst_idx]
+             block_tables.reshape(-1), cu_q_lens, num_seqs,
+             image_slot_ids, image_dst_idx]
     return np.concatenate([np.asarray(p, np.int32) for p in parts])
 
 
@@ -142,6 +148,8 @@ def unpack_fill_batch(flat: jax.Array, image_cache: jax.Array,
     sample_token_idx = take(S)
     sample_dst_slots = take(S)
     block_tables = take(S * MB).reshape(S, MB)
+    cu_q_lens = take(S + 1)
+    num_seqs = take(1)
     image_slot_ids = take(Ti)
     image_dst_idx = take(Ti)
 
@@ -162,7 +170,8 @@ def unpack_fill_batch(flat: jax.Array, image_cache: jax.Array,
         attention=PagedAttentionParams(
             q_seq_ids=q_seq_ids, q_local_ids=q_local_ids, positions=positions,
             kv_lens=kv_lens, block_tables=block_tables,
-            new_kv_slot_ids=new_kv_slot_ids),
+            new_kv_slot_ids=new_kv_slot_ids,
+            cu_q_lens=cu_q_lens, num_seqs=num_seqs),
         sample_token_idx=sample_token_idx,
         token_src_slots=token_src_slots,
         sample_dst_slots=sample_dst_slots,
@@ -236,6 +245,8 @@ class ModelFactoryConfig:
     dtype: str = "auto"
     # attention implementation: auto | jnp | pallas
     attention_impl: str = "auto"
+    # weight-only quantization of the decoder matmuls: none | int8 | int4
+    quantization: str = "none"
 
 
 @dataclass

@@ -67,8 +67,11 @@ def convert_llama_weights(store: WeightStore, cfg: DecoderConfig,
 
 
 class LlamaForCausalLM(LanguageModel):
-    def __init__(self, weights: dict, cfg: DecoderConfig):
+    def __init__(self, weights: dict, cfg: DecoderConfig,
+                 quantization: str = "none"):
         self.cfg = cfg
+        from ..ops.quant import quantize_tree
+        weights = quantize_tree(weights, quantization)
         # stacked scan layout: one compiled layer body instead of n_layers
         self.weights = pack_decoder_weights(weights)
         self.cos_tab, self.sin_tab = init_rope_tables(cfg)

@@ -114,7 +114,8 @@ class LlavaModelFactory(ModelFactory):
             lm_prefix, _, _, head = self._prefixes()
             weights = convert_llama_weights(self._get_store(), self.decoder_cfg,
                                             prefix=lm_prefix, lm_head_name=head)
-            self._lm = LlamaForCausalLM(weights, self.decoder_cfg)
+            self._lm = LlamaForCausalLM(weights, self.decoder_cfg,
+                                        self.config.quantization)
         return self._lm
 
     def getVisionModel(self) -> LlavaVisionModel:

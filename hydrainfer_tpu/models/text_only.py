@@ -32,7 +32,8 @@ class TextOnlyModelFactory(ModelFactory):
             store = WeightStore(self.config.path, cast_dtype=self.config.dtype)
             weights = convert_llama_weights(store, self.decoder_cfg)
             store.assert_consumed()
-            self._lm = LlamaForCausalLM(weights, self.decoder_cfg)
+            self._lm = LlamaForCausalLM(weights, self.decoder_cfg,
+                                        self.config.quantization)
         return self._lm
 
     def getVisionModel(self):

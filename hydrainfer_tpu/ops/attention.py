@@ -5,17 +5,23 @@ TPU-native replacement for the reference's attention handler chain
 self-built flash_attn → torch reference; csrc/kernel/flash_attn). The same
 chain idea survives as implementations selected by `impl`:
 
-  - 'jnp'    : gather-dense masked attention. The correctness oracle; also a
-               respectable XLA path (dense einsum on the MXU) for small
-               batches and the interpret/CPU path for tests.
-  - 'pallas' : flash-style kernel reading KV pages directly from HBM with
-               scalar-prefetched block tables (no page materialization).
-  - 'auto'   : pallas on TPU when shapes allow, else jnp.
+  - 'ragged' : the tuned TPU Pallas ragged-paged-attention kernel
+               (mixed prefill+decode, flash-style, reads KV pages from HBM
+               with no page materialization; also the int8-KV path via
+               k_scale/v_scale).
+  - 'jnp'    : gather-dense masked attention. The correctness oracle, the
+               CPU/interpret path for tests, and the fallback.
+  - 'auto'   : ragged on TPU, else jnp.
+
+Cache layout (shared with the kernel, zero-copy):
+  (n_layers, 1, n_blocks, block_size, 2*n_kv_heads, head_dim)
+with K at even combined-head indices and V at odd.
 
 Batch geometry (static shapes — every array is padded to a bucket):
-  tokens of all sequences are flattened to one (T,) axis; sequences to (S,).
-  A single batch mixes prefill chunks and decode steps freely, matching the
-  reference's unified Fill instruction (reference: hydrainfer/engine/isa.py).
+  tokens of all sequences are flattened to one (T,) axis with each
+  sequence's tokens contiguous; sequences to (S,). A single batch mixes
+  prefill chunks and decode steps freely, matching the reference's unified
+  Fill instruction (reference: hydrainfer/engine/isa.py).
 """
 import functools
 from dataclasses import dataclass
@@ -23,8 +29,6 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-
-from .cache_ops import gather_token_cache
 
 _NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
 
@@ -38,8 +42,10 @@ class PagedAttentionParams:
     q_local_ids:  (T,) int32  token's index within its sequence's q chunk
     positions:    (T,) int32  absolute kv position of each token
     kv_lens:      (S,) int32  kv length per sequence incl. this chunk; 0 = pad
-    block_tables: (S, max_blocks) int32 physical block ids; -1 = pad
+    block_tables: (S, MB) int32 physical block ids; -1 = pad
     new_kv_slot_ids: (T,) int32 physical slot receiving each token's K/V; -1 = pad
+    cu_q_lens:    (S+1,) int32 cumulative q-chunk lengths (tokens contiguous)
+    num_seqs:     (1,) int32 dynamic number of real sequences
     """
     q_seq_ids: jax.Array
     q_local_ids: jax.Array
@@ -47,6 +53,8 @@ class PagedAttentionParams:
     kv_lens: jax.Array
     block_tables: jax.Array
     new_kv_slot_ids: jax.Array
+    cu_q_lens: jax.Array
+    num_seqs: jax.Array
 
     @property
     def n_seqs(self) -> int:
@@ -55,6 +63,17 @@ class PagedAttentionParams:
     @property
     def n_tokens(self) -> int:
         return self.q_seq_ids.shape[0]
+
+
+def _gather_pages(cache: jax.Array, layer_id, tensor_id: int,
+                  block_tables: jax.Array, combined_offset: int) -> jax.Array:
+    """Gather K or V pages into dense (S, MB*bs, KVH, D) from the
+    combined-head layout (K at even indices, V at odd)."""
+    tables = jnp.maximum(block_tables, 0)
+    pages = cache[layer_id, tensor_id][tables]     # (S, MB, bs, 2KVH, D)
+    kv = pages[..., combined_offset::2, :]          # (S, MB, bs, KVH, D)
+    s, mb, bs, h, d = kv.shape
+    return kv.reshape(s, mb * bs, h, d)
 
 
 def _repeat_kv(x: jax.Array, n_rep: int) -> jax.Array:
@@ -68,16 +87,16 @@ def paged_attention_jnp(q: jax.Array, cache: jax.Array, layer_id,
                         max_q: int) -> jax.Array:
     """Gather-dense reference implementation.
 
-    q: (T, H, D). cache: (L, 2, n_blocks, block_size, KVH, D).
+    q: (T, H, D). cache: (L, 1, n_blocks, block_size, 2*KVH, D).
     max_q: static upper bound on any sequence's q-chunk length in this batch.
     returns (T, H, D).
     """
     T, H, D = q.shape
-    KVH = cache.shape[-2]
+    KVH = cache.shape[-2] // 2
     S = params.n_seqs
 
-    k = gather_token_cache(cache, layer_id, 0, params.block_tables)  # (S, max_kv, KVH, D)
-    v = gather_token_cache(cache, layer_id, 1, params.block_tables)
+    k = _gather_pages(cache, layer_id, 0, params.block_tables, 0)
+    v = _gather_pages(cache, layer_id, 0, params.block_tables, 1)
     max_kv = k.shape[1]
     k = _repeat_kv(k, H // KVH)  # (S, max_kv, H, D)
     v = _repeat_kv(v, H // KVH)
@@ -114,16 +133,36 @@ def paged_attention_jnp(q: jax.Array, cache: jax.Array, layer_id,
     return out.astype(q.dtype)
 
 
+def paged_attention_ragged(q: jax.Array, cache: jax.Array, layer_id,
+                           params: PagedAttentionParams, sm_scale: float,
+                           k_scale: Optional[float] = None,
+                           v_scale: Optional[float] = None) -> jax.Array:
+    """TPU Pallas kernel path (vLLM-style ragged paged attention)."""
+    from jax.experimental.pallas.ops.tpu.ragged_paged_attention.kernel import (
+        ragged_paged_attention)
+    kv_pages = cache[layer_id, 0]  # (n_blocks, block_size, 2*KVH, D) view
+    return ragged_paged_attention(
+        q, kv_pages,
+        kv_lens=params.kv_lens,
+        page_indices=jnp.maximum(params.block_tables, 0),
+        cu_q_lens=params.cu_q_lens,
+        num_seqs=params.num_seqs,
+        sm_scale=sm_scale,
+        k_scale=k_scale, v_scale=v_scale,
+    )
+
+
 def paged_attention(q: jax.Array, cache: jax.Array, layer_id,
                     params: PagedAttentionParams, sm_scale: float,
                     max_q: int, impl: str = "auto") -> jax.Array:
     """Handler-chain entry point. See module docstring for impl choices."""
-    if impl in ("auto", "pallas"):
+    if impl in ("auto", "ragged", "pallas"):
         try:
-            from .pallas.paged_attention import paged_attention_pallas
-            return paged_attention_pallas(q, cache, layer_id, params, sm_scale, max_q)
+            if impl == "auto" and jax.default_backend() != "tpu":
+                raise ImportError("ragged kernel is TPU-only; fall back")
+            return paged_attention_ragged(q, cache, layer_id, params, sm_scale)
         except Exception:
-            if impl == "pallas":
+            if impl in ("ragged", "pallas"):
                 raise
     return paged_attention_jnp(q, cache, layer_id, params, sm_scale, max_q)
 

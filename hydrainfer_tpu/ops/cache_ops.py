@@ -37,8 +37,16 @@ def write_token_cache(cache: jax.Array, layer_id: int, slot_ids: jax.Array,
 
 def write_kv_cache(cache: jax.Array, layer_id: int, slot_ids: jax.Array,
                    k: jax.Array, v: jax.Array, block_size: int) -> jax.Array:
-    """KV specialization: tensor 0 = key, tensor 1 = value."""
-    return write_token_cache(cache, layer_id, slot_ids, (k, v), block_size)
+    """KV specialization over the combined-head layout.
+
+    cache: (n_layers, 1, n_blocks, block_size, 2*n_kv_heads, head_dim) with
+    keys at even combined-head indices and values at odd — the native layout
+    of the TPU ragged paged attention kernel, so attention reads pages
+    zero-copy. k, v: (n_tokens, n_kv_heads, head_dim).
+    """
+    kv = jnp.concatenate([k[:, :, None], v[:, :, None]], axis=2)
+    kv = kv.reshape(k.shape[0], 2 * k.shape[1], k.shape[2])
+    return write_token_cache(cache, layer_id, slot_ids, (kv,), block_size)
 
 
 def gather_token_cache(cache: jax.Array, layer_id: int, tensor_id: int,

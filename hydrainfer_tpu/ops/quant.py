@@ -1,0 +1,118 @@
+"""Weight-only quantization (INT8 / INT4) for the decode hot path.
+
+Replaces the reference's Triton FP8 quant kernels
+(reference: hydrainfer/triton/per_token_group_quant_fp8_kernel.py,
+w8a8_block_fp8_matmul_kernel.py) with the TPU-appropriate scheme: batched
+decode is HBM-bandwidth-bound on WEIGHT reads, so weight-only quantization
+(int8 = 2x, int4 = 4x fewer bytes) moves the roofline directly. Activations
+stay bf16 — the dequant happens in the matmul's rhs load and XLA fuses the
+convert into the dot; a Pallas fused dequant-matmul kernel can slot in
+behind the same QuantizedTensor type.
+
+Scheme: symmetric per-output-channel scales. int4 packs two nibbles per
+int8 byte along the input axis.
+"""
+from dataclasses import dataclass
+from typing import Union
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclass(frozen=True)
+class QuantizedTensor:
+    """q: int8 (in, out) for int8, or (in/2, out) packed for int4;
+    scale: (out,) f32."""
+    q: jax.Array
+    scale: jax.Array
+    bits: int = 8  # static (pytree metadata)
+
+
+jax.tree_util.register_dataclass(QuantizedTensor,
+                                 data_fields=["q", "scale"],
+                                 meta_fields=["bits"])
+
+
+def quantize_int8(w: jax.Array) -> QuantizedTensor:
+    """(in, out) float → per-column symmetric int8."""
+    wf = w.astype(jnp.float32)
+    scale = jnp.max(jnp.abs(wf), axis=0) / 127.0
+    scale = jnp.maximum(scale, 1e-8)
+    q = jnp.clip(jnp.round(wf / scale[None, :]), -127, 127).astype(jnp.int8)
+    return QuantizedTensor(q=q, scale=scale, bits=8)
+
+
+def quantize_int4(w: jax.Array) -> QuantizedTensor:
+    """(in, out) float → per-column symmetric int4, two values per byte
+    along the input axis (in must be even)."""
+    wf = w.astype(jnp.float32)
+    assert wf.shape[0] % 2 == 0, "int4 packing needs even input dim"
+    scale = jnp.max(jnp.abs(wf), axis=0) / 7.0
+    scale = jnp.maximum(scale, 1e-8)
+    q = jnp.clip(jnp.round(wf / scale[None, :]), -7, 7).astype(jnp.int8)
+    lo = q[0::2] & 0x0F
+    hi = (q[1::2] & 0x0F) << 4
+    packed = (lo | hi).astype(jnp.int8)
+    return QuantizedTensor(q=packed, scale=scale, bits=4)
+
+
+def _unpack_int4(packed: jax.Array) -> jax.Array:
+    """(in/2, out) packed → (in, out) int8 in [-7, 7]."""
+    lo = (packed & 0x0F).astype(jnp.int8)
+    hi = ((packed >> 4) & 0x0F).astype(jnp.int8)
+    # sign-extend the nibble
+    lo = jnp.where(lo > 7, lo - 16, lo)
+    hi = jnp.where(hi > 7, hi - 16, hi)
+    n2, out = packed.shape
+    return jnp.stack([lo, hi], axis=1).reshape(n2 * 2, out)
+
+
+def dequantize(qt: QuantizedTensor, dtype=jnp.bfloat16) -> jax.Array:
+    q = qt.q if qt.bits == 8 else _unpack_int4(qt.q)
+    return (q.astype(jnp.float32) * qt.scale[None, :]).astype(dtype)
+
+
+def qmatmul(x: jax.Array, w: Union[jax.Array, QuantizedTensor]) -> jax.Array:
+    """x @ W for plain or quantized weights (the dispatch point a Pallas
+    fused dequant-matmul kernel plugs into)."""
+    if isinstance(w, QuantizedTensor):
+        q = w.q if w.bits == 8 else _unpack_int4(w.q)
+        # int8 rhs converts to the activation dtype inside the fused dot
+        out = jnp.dot(x, q.astype(x.dtype),
+                      preferred_element_type=jnp.float32)
+        return (out * w.scale[None, :]).astype(x.dtype)
+    return x @ w
+
+
+def qmatmul_f32(x: jax.Array, w: Union[jax.Array, QuantizedTensor]) -> jax.Array:
+    """Like qmatmul but keeps fp32 output (for logits)."""
+    if isinstance(w, QuantizedTensor):
+        q = w.q if w.bits == 8 else _unpack_int4(w.q)
+        out = jnp.dot(x, q.astype(x.dtype), preferred_element_type=jnp.float32)
+        return out * w.scale[None, :]
+    return jnp.dot(x, w, preferred_element_type=jnp.float32)
+
+
+def quantize_tree(weights, mode: str, keys=("qkv_proj", "o_proj", "gate_up",
+                                            "down", "lm_head")):
+    """Quantize the matmul weights of a decoder pytree in place-ish.
+    mode: 'none' | 'int8' | 'int4'. Norms/embeddings stay full precision
+    (embedding gathers are tiny; lm_head is quantized)."""
+    if mode in (None, "none", ""):
+        return weights
+    quant = {"int8": quantize_int8, "int4": quantize_int4}[mode]
+
+    def convert(d):
+        return {k: (quant(v) if k in keys and v is not None else v)
+                for k, v in d.items()}
+
+    out = dict(weights)
+    if "layers" in out:
+        out["layers"] = [convert(lw) for lw in out["layers"]]
+    if "layers_stack" in out:
+        out["layers_stack"] = convert(out["layers_stack"])
+    if "last_layer" in out:
+        out["last_layer"] = convert(out["last_layer"])
+    if "lm_head" in out and "lm_head" in keys:
+        out["lm_head"] = quant(out["lm_head"])
+    return out

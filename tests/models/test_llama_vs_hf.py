@@ -46,6 +46,8 @@ def make_single_seq_batch(chunk_tokens, n_past, block_size=4):
             kv_lens=jnp.asarray([kv_len], jnp.int32),
             block_tables=jnp.arange(n_blocks, dtype=jnp.int32)[None, :],
             new_kv_slot_ids=jnp.arange(n_past, kv_len, dtype=jnp.int32),
+            cu_q_lens=jnp.asarray([0, T], jnp.int32),
+            num_seqs=jnp.asarray([1], jnp.int32),
         ),
         sample_token_idx=jnp.asarray([T - 1], jnp.int32),
         token_src_slots=jnp.full((T,), -1, jnp.int32),
@@ -62,7 +64,7 @@ def test_prefill_and_decode_logits_match_hf(tiny_llama):
     assert cfg.n_layers == 2 and cfg.n_kv_heads == 2
 
     block_size = 4
-    cache = jnp.zeros((cfg.n_layers, 2, 16, block_size, cfg.n_kv_heads,
+    cache = jnp.zeros((cfg.n_layers, 1, 16, block_size, 2 * cfg.n_kv_heads,
                        cfg.head_dim), jnp.float32)
 
     rng = np.random.default_rng(0)
@@ -100,7 +102,7 @@ def test_chunked_prefill_matches_full_prefill(tiny_llama):
     lm = factory.getLanguageModel()
     cfg = factory.getLanguageModelConfig()
     block_size = 4
-    cache = jnp.zeros((cfg.n_layers, 2, 16, block_size, cfg.n_kv_heads,
+    cache = jnp.zeros((cfg.n_layers, 1, 16, block_size, 2 * cfg.n_kv_heads,
                        cfg.head_dim), jnp.float32)
     rng = np.random.default_rng(1)
     prompt = rng.integers(0, VOCAB, size=10).tolist()

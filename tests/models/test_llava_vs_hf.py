@@ -80,7 +80,7 @@ def test_multimodal_prefill_logits_match_hf(tiny_llava):
 
     block_size = 4
     n_blocks_needed = -(-T // block_size)
-    cache = jnp.zeros((lcfg.n_layers, 2, 8, block_size, lcfg.n_kv_heads,
+    cache = jnp.zeros((lcfg.n_layers, 1, 8, block_size, 2 * lcfg.n_kv_heads,
                        lcfg.head_dim), jnp.float32)
     batch = LanguageModelBatch(
         token_ids=jnp.asarray(prompt, jnp.int32),
@@ -94,6 +94,8 @@ def test_multimodal_prefill_logits_match_hf(tiny_llava):
             kv_lens=jnp.asarray([T], jnp.int32),
             block_tables=jnp.arange(n_blocks_needed, dtype=jnp.int32)[None, :],
             new_kv_slot_ids=jnp.arange(T, dtype=jnp.int32),
+            cu_q_lens=jnp.asarray([0, T], jnp.int32),
+            num_seqs=jnp.asarray([1], jnp.int32),
         ),
         sample_token_idx=jnp.asarray([T - 1], jnp.int32),
         token_src_slots=jnp.full((T,), -1, jnp.int32),

@@ -15,7 +15,7 @@ def build_case(rng, seq_specs, H=4, KVH=2, D=16, block_size=4, n_blocks=64,
     T_pad = T_pad or T
     S_pad = S_pad or S
 
-    cache = np.zeros((L, 2, n_blocks, block_size, KVH, D), np.float32)
+    cache = np.zeros((L, 1, n_blocks, block_size, 2 * KVH, D), np.float32)
     max_blocks = max(-(-kv // block_size) for _, kv in seq_specs)
     block_tables = np.full((S_pad, max_blocks), -1, np.int32)
     next_block = 1  # leave block 0 unused to catch clamping bugs
@@ -35,8 +35,8 @@ def build_case(rng, seq_specs, H=4, KVH=2, D=16, block_size=4, n_blocks=64,
         for l in range(L):
             for i in range(kv_len):
                 b, o = blocks[i // block_size], i % block_size
-                cache[l, 0, b, o] = k[i]
-                cache[l, 1, b, o] = v[i]
+                cache[l, 0, b, o, 0::2] = k[i]
+                cache[l, 0, b, o, 1::2] = v[i]
 
     q = rng.standard_normal((T_pad, H, D)).astype(np.float32)
     q_seq_ids = np.full(T_pad, -1, np.int32)
@@ -50,6 +50,12 @@ def build_case(rng, seq_specs, H=4, KVH=2, D=16, block_size=4, n_blocks=64,
             positions[t] = kv_len - q_len + i  # the chunk is the kv tail
             t += 1
 
+    cu = np.zeros(S_pad + 1, np.int32)
+    acc = 0
+    for s_i, (q_len, _) in enumerate(seq_specs):
+        acc += q_len
+        cu[s_i + 1] = acc
+    cu[len(seq_specs) + 1:] = acc
     params = PagedAttentionParams(
         q_seq_ids=jnp.asarray(q_seq_ids),
         q_local_ids=jnp.asarray(q_local_ids),
@@ -57,6 +63,8 @@ def build_case(rng, seq_specs, H=4, KVH=2, D=16, block_size=4, n_blocks=64,
         kv_lens=jnp.asarray(kv_lens),
         block_tables=jnp.asarray(block_tables),
         new_kv_slot_ids=jnp.full((T_pad,), -1, jnp.int32),
+        cu_q_lens=jnp.asarray(cu),
+        num_seqs=jnp.asarray([len(seq_specs)], jnp.int32),
     )
 
     # numpy oracle
@@ -115,7 +123,7 @@ def test_write_then_attend_roundtrip():
     """Append K/V via write_kv_cache then attend — the layer-level contract."""
     rng = np.random.default_rng(3)
     block_size, KVH, D, H = 4, 2, 16, 4
-    cache = jnp.zeros((1, 2, 8, block_size, KVH, D), jnp.float32)
+    cache = jnp.zeros((1, 1, 8, block_size, 2 * KVH, D), jnp.float32)
     kv_len = 6
     k = rng.standard_normal((kv_len, KVH, D)).astype(np.float32)
     v = rng.standard_normal((kv_len, KVH, D)).astype(np.float32)
@@ -133,6 +141,8 @@ def test_write_then_attend_roundtrip():
         kv_lens=jnp.asarray([kv_len], jnp.int32),
         block_tables=jnp.asarray([[2, 5]], jnp.int32),
         new_kv_slot_ids=jnp.asarray([-1], jnp.int32),
+        cu_q_lens=jnp.asarray([0, 1], jnp.int32),
+        num_seqs=jnp.asarray([1], jnp.int32),
     )
     out = paged_attention_jnp(jnp.asarray(q), cache, 0, params, 1.0 / 4.0, max_q=1)
 

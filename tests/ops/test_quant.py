@@ -1,0 +1,97 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hydrainfer_tpu.ops.quant import (QuantizedTensor, dequantize, qmatmul,
+                                      qmatmul_f32, quantize_int4,
+                                      quantize_int8, quantize_tree)
+
+
+def test_int8_roundtrip_error():
+    rng = np.random.default_rng(0)
+    w = rng.standard_normal((64, 32)).astype(np.float32)
+    qt = quantize_int8(jnp.asarray(w))
+    assert qt.q.dtype == jnp.int8
+    deq = np.asarray(dequantize(qt, jnp.float32))
+    max_abs = np.abs(w).max(0)
+    assert np.abs(deq - w).max() <= (max_abs / 127.0).max() * 0.51 + 1e-6
+
+
+def test_int4_pack_unpack_roundtrip():
+    rng = np.random.default_rng(1)
+    w = rng.standard_normal((64, 16)).astype(np.float32)
+    qt = quantize_int4(jnp.asarray(w))
+    assert qt.q.shape == (32, 16)
+    deq = np.asarray(dequantize(qt, jnp.float32))
+    max_abs = np.abs(w).max(0)
+    assert np.abs(deq - w).max() <= (max_abs / 7.0).max() * 0.51 + 1e-6
+
+
+@pytest.mark.parametrize("quant", [quantize_int8, quantize_int4])
+def test_qmatmul_close_to_full_precision(quant):
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((4, 64)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((64, 32)).astype(np.float32))
+    exact = np.asarray(x @ w)
+    approx = np.asarray(qmatmul(x, quant(w)))
+    rel = np.abs(approx - exact).max() / np.abs(exact).max()
+    assert rel < (0.02 if quant is quantize_int8 else 0.15)
+    f32 = np.asarray(qmatmul_f32(x, quant(w)))
+    np.testing.assert_allclose(f32, approx, rtol=1e-2, atol=1e-2)
+
+
+def test_quantize_tree_layout():
+    rng = np.random.default_rng(3)
+    mk = lambda *s: jnp.asarray(rng.standard_normal(s).astype(np.float32))
+    weights = {
+        "embed": mk(100, 16),
+        "layers": [{"qkv_proj": mk(16, 48), "qkv_bias": None,
+                    "o_proj": mk(16, 16), "gate_up": mk(16, 64),
+                    "down": mk(32, 16), "input_norm": mk(16), "post_norm": mk(16)}
+                   for _ in range(2)],
+        "norm": mk(16),
+        "lm_head": mk(16, 100),
+    }
+    q = quantize_tree(weights, "int8")
+    assert isinstance(q["layers"][0]["qkv_proj"], QuantizedTensor)
+    assert isinstance(q["lm_head"], QuantizedTensor)
+    assert not isinstance(q["embed"], QuantizedTensor)       # gathers stay fp
+    assert not isinstance(q["layers"][0]["input_norm"], QuantizedTensor)
+    assert quantize_tree(weights, "none") is weights
+
+
+def test_int8_logits_close_to_fp32():
+    import tempfile
+
+    import torch
+    import transformers
+
+    from hydrainfer_tpu.models import ModelFactoryConfig, getModelFactory
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "models"))
+    from test_llama_vs_hf import make_single_seq_batch
+
+    path = tempfile.mkdtemp()
+    cfg = transformers.LlamaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2)
+    torch.manual_seed(0)
+    transformers.LlamaForCausalLM(cfg).eval().float().save_pretrained(
+        path, safe_serialization=True)
+
+    lm_fp = getModelFactory(ModelFactoryConfig(
+        path=path, dtype="float32", attention_impl="jnp")).getLanguageModel()
+    lm_q = getModelFactory(ModelFactoryConfig(
+        path=path, dtype="float32", attention_impl="jnp",
+        quantization="int8")).getLanguageModel()
+
+    prompt = list(np.random.default_rng(0).integers(0, 128, size=9))
+    batch, T = make_single_seq_batch(prompt, n_past=0)
+    cache = jnp.zeros((2, 1, 16, 4, 4, 16), jnp.float32)
+    _, _, logits_fp = lm_fp.forward_with_logits(cache, batch, max_q=T)
+    cache = jnp.zeros((2, 1, 16, 4, 4, 16), jnp.float32)
+    _, _, logits_q = lm_q.forward_with_logits(cache, batch, max_q=T)
+    fp = np.asarray(logits_fp[0])
+    q = np.asarray(logits_q[0])
+    corr = np.corrcoef(fp, q)[0, 1]
+    assert corr > 0.999, f"int8 logits diverged, corr={corr}"
