@@ -425,6 +425,7 @@ class AsyncEPDNode:
         if rcb.virtual_image_cache is not None and self.image_cache_manager is not None:
             self.image_cache_manager.realloc(rcb.virtual_image_cache, 0)
         self.executor.fill_executor.release_slot(rcb)
+        self.batch_scheduler.release_reservation(rcb)
 
     def __repr__(self):
         return self.name

@@ -63,6 +63,12 @@ class BatchScheduler:
         self.max_overload_requests = config.max_running_requests
         self._running_cnt = 0
         self._migrating_cnt = 0
+        self._oom_deferrals = 0
+        # Admission reserves each request's worst-case KV footprint
+        # (prompt + max_tokens), so decode growth can never deadlock the
+        # pool — strictly safer than the reference, which asserts on
+        # exhaustion. Deferral below remains as a safety net.
+        self._reserved_blocks = 0
 
     # -------- migration OOM guard (reference: scheduler.py:54-58) --------
 
@@ -106,25 +112,70 @@ class BatchScheduler:
         self.running.append(rcb)
         self._stamp_queue_end(rcb)
 
+    def _demand_blocks(self, rcb: RequestControlBlock) -> int:
+        """Worst-case KV blocks for the request's full lifetime."""
+        if self.kv_cache_manager is None:
+            return 0
+        n_prompt = (rcb.request_metadata.n_prompt_tokens
+                    if rcb.request_metadata else 0)
+        n_tokens = n_prompt + (rcb.sampling_params.max_tokens
+                               if rcb.sampling_params else 0)
+        return -(-n_tokens // self.kv_cache_manager.block_size)
+
+    def _try_reserve(self, rcb: RequestControlBlock) -> bool:
+        if self.kv_cache_manager is None:
+            return True
+        need = self._demand_blocks(rcb)
+        if self._reserved_blocks + need > self.kv_cache_manager.n_blocks:
+            return False
+        self._reserved_blocks += need
+        rcb._kv_reservation = need
+        return True
+
+    def release_reservation(self, rcb: RequestControlBlock) -> None:
+        need = getattr(rcb, "_kv_reservation", 0)
+        self._reserved_blocks -= need
+        rcb._kv_reservation = 0
+
     # -------- the step --------
 
     def step(self) -> BatchRequest:
         self.step_cnt += 1
         cap = self.config.max_running_requests - self._migrating_cnt
         while len(self.running) < cap and self.waiting:
+            head = self.waiting[0]
+            if (self.kv_cache_manager is not None
+                    and self._demand_blocks(head) > self.kv_cache_manager.n_blocks):
+                # request can never fit: reject instead of stalling the queue
+                self.waiting.popleft()
+                logger.error(f"request {head.request_id} needs "
+                             f"{self._demand_blocks(head)} blocks > pool "
+                             f"{self.kv_cache_manager.n_blocks}; rejected")
+                for proc in head.output_token_processors:
+                    proc.append_token_id(-1, True)
+                continue
+            if not self._try_reserve(head):
+                break  # head-of-line blocks until KV reservations free up
             self.schedule_running(self.waiting.popleft())
         # overload window: PullCache requests bypass the cap so the peer
         # node's sender blocks can drain (cross-node deadlock avoidance)
         while (len(self.running) < cap + self.max_overload_requests
                and self.waiting
                and isinstance(self.waiting[0].current_instruction(), PullCache)):
+            if not self._try_reserve(self.waiting[0]):
+                break
             self.schedule_running(self.waiting.popleft())
 
         self._running_cnt = len(self.running)
         if not self.running:
             return BatchRequest()
 
-        # 1. allocate caches; skip prefix-cache-matched prefill spans
+        # 1. allocate caches; skip prefix-cache-matched prefill spans.
+        # Allocation failures become BACK-PRESSURE, not crashes: the request
+        # is deferred and retried once blocks free up (the reference asserts
+        # and kills the actor here, token_cache_manger.py:103).
+        deferred: List[RequestControlBlock] = []
+        runnable: List[RequestControlBlock] = []
         for rcb in self.running:
             inst = rcb.current_instruction()
             if isinstance(inst, Fill):
@@ -141,18 +192,34 @@ class BatchScheduler:
                         rcb.step()  # the matched span needs no compute
                 inst = rcb.current_instruction()
                 if isinstance(inst, Fill):
-                    self.kv_cache_manager.realloc(
-                        rcb.virtual_kv_cache,
-                        max(rcb.virtual_kv_cache.n_cache_tokens,
-                            max(inst.cache_ids) + 1))
+                    vc = rcb.virtual_kv_cache
+                    target = max(vc.n_cache_tokens, max(inst.cache_ids) + 1)
+                    bs = self.kv_cache_manager.block_size
+                    n_more = -(-target // bs) - len(vc.block_table)
+                    if n_more > self.kv_cache_manager.n_available_blocks():
+                        deferred.append(rcb)
+                        continue
+                    self.kv_cache_manager.realloc(vc, target)
             elif isinstance(inst, ImageEmbed):
                 if rcb.virtual_image_cache is None:
                     rcb.virtual_image_cache = \
                         self.image_cache_manager.allocate_virtual_cache()
-                self.image_cache_manager.realloc(
-                    rcb.virtual_image_cache,
-                    max(rcb.virtual_image_cache.n_cache_tokens,
-                        max(inst.cache_ids) + 1))
+                vc = rcb.virtual_image_cache
+                target = max(vc.n_cache_tokens, max(inst.cache_ids) + 1)
+                bs = self.image_cache_manager.block_size
+                n_more = -(-target // bs) - len(vc.block_table)
+                if n_more > self.image_cache_manager.n_available_blocks():
+                    deferred.append(rcb)
+                    continue
+                self.image_cache_manager.realloc(vc, target)
+            runnable.append(rcb)
+        if deferred:
+            self._oom_deferrals += 1
+            if self._oom_deferrals % 1000 == 1:
+                logger.warning(
+                    f"cache back-pressure: {len(deferred)} request(s) deferred "
+                    f"(kv free blocks: {self.kv_cache_manager.n_available_blocks()})")
+        self.running = runnable
 
         # 2. classify
         embed_seqs, prefill_seqs, decode_seqs, this_step, next_step = [], [], [], [], []
@@ -202,7 +269,7 @@ class BatchScheduler:
                 + " ".join(f"{rcb.sid}:{rcb.current_instruction()!r}" for rcb in this_step)
                 + f" images={n_images} tokens={n_tokens}")
 
-        self.running = next_step
+        self.running = next_step + deferred
         return BatchRequest(this_step)
 
     def metrics(self) -> BatchSchedulerMetrics:
