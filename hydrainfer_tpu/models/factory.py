@@ -278,7 +278,7 @@ def getModelFactory(config: ModelFactoryConfig,
     if architecture == "LlavaNextForConditionalGeneration":
         from .llavanext import LlavaNextModelFactory
         return LlavaNextModelFactory(config, context)
-    if architecture == "Qwen2VLForConditionalGeneration":
+    if architecture == "Qwen2VLForConditionalGeneration" or model_type == "qwen2_vl":
         from .qwen2_vl import Qwen2VLModelFactory
         return Qwen2VLModelFactory(config, context)
     if architecture == "InternVLChatModel":
