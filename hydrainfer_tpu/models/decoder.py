@@ -46,6 +46,9 @@ class DecoderConfig:
     rope_interleaved: bool = False
     tie_word_embeddings: bool = False
     attention_impl: str = "auto"
+    # sparse MoE MLP (0 = dense): layers carry moe_router/moe_gate_up/moe_down
+    moe_top_k: int = 0
+    n_experts: int = 0
 
 
 def init_rope_tables(cfg: DecoderConfig):
@@ -100,8 +103,18 @@ def _layer_body(x, cache, layer_id, lw, batch: LanguageModelBatch,
     x = x + qmatmul(attn.reshape(T, Hq * D), lw["o_proj"])
 
     h = rms_norm(x, lw["post_norm"], cfg.rms_norm_eps)
-    mlp = qmatmul(silu_and_mul(qmatmul(h, lw["gate_up"])), lw["down"])
-    return x + mlp, cache
+    return x + _mlp(h, lw, cfg), cache
+
+
+def _mlp(h: jax.Array, lw: dict, cfg: DecoderConfig) -> jax.Array:
+    if cfg.moe_top_k > 0 and "moe_router" in lw:
+        from ..ops.moe import moe_ffn, topk_softmax
+        weights, idx = topk_softmax(h @ lw["moe_router"], cfg.moe_top_k)
+        out = moe_ffn(h, lw["moe_gate_up"], lw["moe_down"], weights, idx)
+        if "gate_up" in lw:  # shared experts alongside the routed ones
+            out = out + qmatmul(silu_and_mul(qmatmul(h, lw["gate_up"])), lw["down"])
+        return out
+    return qmatmul(silu_and_mul(qmatmul(h, lw["gate_up"])), lw["down"])
 
 
 def decoder_forward(weights: dict, cache: jax.Array, batch: LanguageModelBatch,
@@ -174,7 +187,7 @@ def decoder_forward(weights: dict, cache: jax.Array, batch: LanguageModelBatch,
     x = x + qmatmul(attn.reshape(T, Hq * D), lw["o_proj"])
     x = jnp.take(x, sample_idx, axis=0)                  # token discard
     h = rms_norm(x, lw["post_norm"], cfg.rms_norm_eps)
-    x = x + qmatmul(silu_and_mul(qmatmul(h, lw["gate_up"])), lw["down"])
+    x = x + _mlp(h, lw, cfg)
 
     h = rms_norm(x, weights["norm"], cfg.rms_norm_eps)
     logits = qmatmul_f32(h, weights["lm_head"])

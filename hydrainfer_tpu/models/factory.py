@@ -287,7 +287,13 @@ def getModelFactory(config: ModelFactoryConfig,
     if model_type == "deepseek_vl_v2":
         from .deepseek_vl2 import DeepSeekVL2ModelFactory
         return DeepSeekVL2ModelFactory(config, context)
-    if architecture in ("LlamaForCausalLM", "Qwen2ForCausalLM", "MixtralForCausalLM", "GPT2LMHeadModel"):
+    if architecture == "MixtralForCausalLM":
+        from .mixtral import MixtralModelFactory
+        return MixtralModelFactory(config, context)
+    if architecture == "GPT2LMHeadModel":
+        from .gpt2 import GPT2ModelFactory
+        return GPT2ModelFactory(config, context)
+    if architecture in ("LlamaForCausalLM", "Qwen2ForCausalLM"):
         from .text_only import TextOnlyModelFactory
         return TextOnlyModelFactory(config, context)
 

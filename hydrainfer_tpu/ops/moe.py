@@ -1,0 +1,105 @@
+"""Mixture-of-Experts ops: routing + sort-based ragged expert dispatch.
+
+TPU-native replacement for the reference's CUDA MoE kernels
+(reference: csrc/kernel/moe/ — topk_softmax, grouped_topk_sigmoid, token
+permute/unpermute by index map, align-block grouped GEMM): routing is pure
+jnp; dispatch sorts (token, expert) pairs by expert and runs ONE
+`jax.lax.ragged_dot` grouped matmul per projection — the MXU-native
+equivalent of the reference's permute + grouped GEMM + unpermute pipeline.
+All shapes static: the sorted dispatch has length T*top_k regardless of the
+routing outcome.
+"""
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .activation import silu_and_mul
+
+
+def topk_softmax(router_logits: jax.Array, top_k: int
+                 ) -> Tuple[jax.Array, jax.Array]:
+    """(T, E) logits → (weights (T,k) normalized, expert ids (T,k)).
+    Standard Mixtral routing: softmax over all experts, then top-k weights
+    renormalized (reference: csrc/kernel/moe/topk_softmax_kernel.cu)."""
+    probs = jax.nn.softmax(router_logits.astype(jnp.float32), axis=-1)
+    weights, idx = jax.lax.top_k(probs, top_k)
+    weights = weights / jnp.sum(weights, axis=-1, keepdims=True)
+    return weights, idx.astype(jnp.int32)
+
+
+def grouped_topk_sigmoid(scores_logits: jax.Array, bias: jax.Array,
+                         n_groups: int, topk_groups: int, top_k: int,
+                         routed_scaling: float = 1.0
+                         ) -> Tuple[jax.Array, jax.Array]:
+    """DeepSeek-V3 group-limited routing
+    (reference: csrc/kernel/moe/grouped_topk_sigmoid_kernel.cu and
+    hydrainfer/model/deepseek_v3.py:40-93): sigmoid scores + bias, keep only
+    the topk_groups best expert groups (scored by their top-2 sum), then
+    top-k experts inside the kept groups; weights are the UNBIASED sigmoid
+    scores normalized and scaled."""
+    T, E = scores_logits.shape
+    scores = jax.nn.sigmoid(scores_logits.astype(jnp.float32))
+    biased = scores + bias.astype(jnp.float32)[None, :]
+    grouped = biased.reshape(T, n_groups, E // n_groups)
+    group_score = jnp.sum(jax.lax.top_k(grouped, 2)[0], axis=-1)  # (T, G)
+    _, keep_groups = jax.lax.top_k(group_score, topk_groups)
+    group_mask = jnp.zeros((T, n_groups), bool).at[
+        jnp.arange(T)[:, None], keep_groups].set(True)
+    expert_mask = jnp.repeat(group_mask, E // n_groups, axis=1)
+    masked = jnp.where(expert_mask, biased, -jnp.inf)
+    _, idx = jax.lax.top_k(masked, top_k)
+    weights = jnp.take_along_axis(scores, idx, axis=1)
+    weights = weights / jnp.maximum(jnp.sum(weights, -1, keepdims=True), 1e-20)
+    return weights * routed_scaling, idx.astype(jnp.int32)
+
+
+def moe_ffn(x: jax.Array, gate_up: jax.Array, down: jax.Array,
+            weights: jax.Array, expert_ids: jax.Array) -> jax.Array:
+    """Grouped-matmul expert FFN.
+
+    x: (T, d); gate_up: (E, d, 2I); down: (E, I, d);
+    weights/expert_ids: (T, k) from a routing fn. Returns (T, d).
+    """
+    T, d = x.shape
+    E = gate_up.shape[0]
+    k = expert_ids.shape[1]
+    n = T * k
+
+    flat_experts = expert_ids.reshape(n)
+    flat_tokens = jnp.repeat(jnp.arange(T, dtype=jnp.int32), k)
+    flat_weights = weights.reshape(n)
+
+    # permute by expert (stable: token order preserved within an expert)
+    order = jnp.argsort(flat_experts, stable=True)
+    sorted_tokens = flat_tokens[order]
+    sorted_weights = flat_weights[order]
+    xs = jnp.take(x, sorted_tokens, axis=0)                 # (n, d)
+    group_sizes = jnp.bincount(flat_experts, length=E).astype(jnp.int32)
+
+    h = jax.lax.ragged_dot(xs, gate_up, group_sizes,
+                           preferred_element_type=jnp.float32).astype(x.dtype)
+    h = silu_and_mul(h)
+    out = jax.lax.ragged_dot(h, down, group_sizes,
+                             preferred_element_type=jnp.float32)
+    out = out * sorted_weights[:, None]
+
+    # unpermute: weighted scatter-add back to token rows
+    result = jnp.zeros((T, d), jnp.float32)
+    result = result.at[sorted_tokens].add(out)
+    return result.astype(x.dtype)
+
+
+def moe_ffn_dense(x: jax.Array, gate_up: jax.Array, down: jax.Array,
+                  weights: jax.Array, expert_ids: jax.Array) -> jax.Array:
+    """Oracle: run every expert on every token, mask-combine. O(T*E)."""
+    E = gate_up.shape[0]
+    h = jnp.einsum("td,edi->tei", x.astype(jnp.float32),
+                   gate_up.astype(jnp.float32))
+    h = jax.nn.silu(h[..., : h.shape[-1] // 2]) * h[..., h.shape[-1] // 2:]
+    y = jnp.einsum("tei,eid->ted", h, down.astype(jnp.float32))  # (T,E,d)
+    T, k = expert_ids.shape
+    mask = jnp.zeros((T, E), jnp.float32).at[
+        jnp.arange(T)[:, None], expert_ids].add(weights.astype(jnp.float32))
+    return jnp.einsum("ted,te->td", y, mask).astype(x.dtype)
