@@ -71,6 +71,12 @@ class NodeConfig:
     # across the host's build/dispatch gap; tokens stream out ~depth steps
     # late. 0 restores fully synchronous stepping.
     async_pipeline_depth: int = 2
+    # run fill postprocessing (the device→host token read) on a background
+    # thread so the step loop never blocks on the transfer — on the tunneled
+    # TPU a same-thread read costs ~1 full device step even when lagged,
+    # because D2H transfers queue behind enqueued compute
+    threaded_postprocess: bool = True
+    max_threaded_backlog: int = 32
     token_table_size: int = 4096
 
 
@@ -116,6 +122,12 @@ class AsyncEPDNode:
             self.kv_cache_manager, self.image_cache_manager, self.worker,
             self.model_factory, token_table_size=self.config.token_table_size)
         self._pending_fills = []
+        self._post_pool = None
+        if self.config.threaded_postprocess:
+            from concurrent.futures import ThreadPoolExecutor
+            # single worker: postprocess stays strictly FIFO
+            self._post_pool = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix=f"{self.name}-post")
 
         n_img_tokens = self.vision_config.image_token_calculator \
             .get_num_image_tokens((336, 336)) or 576
@@ -264,13 +276,21 @@ class AsyncEPDNode:
         embed_future = self.executor.execute_image_embed(embeds) if len(embeds) \
             else self.executor.execute_empty(embeds)
         if len(fills):
-            self._pending_fills.append(self.executor.execute_fill(fills))
+            fut = self.executor.execute_fill(fills)
+            if self._post_pool is not None:
+                # hand the device→host read to the reader thread; the step
+                # loop keeps dispatching
+                self._pending_fills.append(self._post_pool.submit(fut.get))
+            else:
+                self._pending_fills.append(fut)
         else:
             self.flush_fills()
         self.executor.execute_empty(empties)
         embed_future.get()
-        while len(self._pending_fills) > self.config.async_pipeline_depth:
-            self._pending_fills.pop(0).get()
+        backlog = (self.config.max_threaded_backlog if self._post_pool is not None
+                   else self.config.async_pipeline_depth)
+        while len(self._pending_fills) > backlog:
+            self._wait_one()
         await asyncio.gather(*migrate_tasks)
 
         if self.config.log_latency_breakdown:
@@ -344,10 +364,17 @@ class AsyncEPDNode:
     # ---------------- 4-step migration protocol ----------------
     # 1. sender picks a target and hands over the RCB (with its virtual
     #    caches still pointing at the sender's blocks)
+    def _wait_one(self) -> None:
+        item = self._pending_fills.pop(0)
+        if hasattr(item, "result"):  # concurrent.futures.Future (reader thread)
+            item.result()
+        else:
+            item.get()
+
     def flush_fills(self) -> None:
         """Drain the async fill pipeline (resolves all sampled tokens)."""
         while self._pending_fills:
-            self._pending_fills.pop(0).get()
+            self._wait_one()
 
     async def _execute_batch_migrate(self, batch: BatchRequest) -> None:
         if len(batch):

@@ -49,6 +49,9 @@ class DecoderConfig:
     # sparse MoE MLP (0 = dense): layers carry moe_router/moe_gate_up/moe_down
     moe_top_k: int = 0
     n_experts: int = 0
+    moe_scoring: str = "softmax"       # softmax | sigmoid
+    moe_norm_topk: bool = True
+    moe_routed_scaling: float = 1.0
 
 
 def init_rope_tables(cfg: DecoderConfig):
@@ -70,12 +73,28 @@ def stack_layer_weights(layers: list) -> dict:
 
 def pack_decoder_weights(weights: dict) -> dict:
     """Converted checkpoint layout {"layers": [per-layer dicts], ...} →
-    scan layout {"layers_stack", "last_layer", ...}."""
-    if "layers_stack" in weights:
+    scan layout {"layers_segments": [{"offset", stacked...}], "last_layer"}.
+
+    Consecutive layers with the same weight signature (e.g. DeepSeek's dense
+    prefix then MoE region) form one scan segment each."""
+    if "layers_segments" in weights:
         return weights
     layers = weights["layers"]
     packed = {k: v for k, v in weights.items() if k != "layers"}
-    packed["layers_stack"] = stack_layer_weights(layers[:-1]) if len(layers) > 1 else {}
+    body = layers[:-1]
+    segments = []
+    i = 0
+    while i < len(body):
+        sig = tuple(sorted(k for k, v in body[i].items() if v is not None))
+        j = i
+        while j < len(body) and sig == tuple(
+                sorted(k for k, v in body[j].items() if v is not None)):
+            j += 1
+        seg = stack_layer_weights(body[i:j])
+        seg["offset"] = jnp.asarray(i, jnp.int32)
+        segments.append(seg)
+        i = j
+    packed["layers_segments"] = segments
     packed["last_layer"] = {k: v for k, v in layers[-1].items() if v is not None}
     return packed
 
@@ -108,8 +127,11 @@ def _layer_body(x, cache, layer_id, lw, batch: LanguageModelBatch,
 
 def _mlp(h: jax.Array, lw: dict, cfg: DecoderConfig) -> jax.Array:
     if cfg.moe_top_k > 0 and "moe_router" in lw:
-        from ..ops.moe import moe_ffn, topk_softmax
-        weights, idx = topk_softmax(h @ lw["moe_router"], cfg.moe_top_k)
+        from ..ops.moe import moe_ffn, route
+        weights, idx = route(h @ lw["moe_router"], cfg.moe_top_k,
+                             scoring=cfg.moe_scoring,
+                             norm_topk=cfg.moe_norm_topk,
+                             routed_scaling=cfg.moe_routed_scaling)
         out = moe_ffn(h, lw["moe_gate_up"], lw["moe_down"], weights, idx)
         if "gate_up" in lw:  # shared experts alongside the routed ones
             out = out + qmatmul(silu_and_mul(qmatmul(h, lw["gate_up"])), lw["down"])
@@ -124,7 +146,7 @@ def decoder_forward(weights: dict, cache: jax.Array, batch: LanguageModelBatch,
                     token_table: Optional[jax.Array] = None):
     """Full LM step. Returns (cache, token_table, sampled_token_ids[, logits]).
 
-    weights layout: {"embed", "layers_stack" (stacked first n_layers-1),
+    weights layout: {"embed", "layers_segments" (stacked scan segments),
     "last_layer" (dict), "norm", "lm_head"} — see LlamaForCausalLM which
     stacks the converted per-layer weights at init.
 
@@ -153,18 +175,17 @@ def decoder_forward(weights: dict, cache: jax.Array, batch: LanguageModelBatch,
     cos = jnp.take(cos_tab, batch.positions, axis=0)
     sin = jnp.take(sin_tab, batch.positions, axis=0)
 
-    n_scan = cfg.n_layers - 1
-
     def scan_step(carry, inp):
         x, cache = carry
         layer_id, lw = inp
         x, cache = _layer_body(x, cache, layer_id, lw, batch, cos, sin, cfg, max_q)
         return (x, cache), None
 
-    if n_scan > 0 and weights["layers_stack"]:
-        layer_ids = jnp.arange(n_scan, dtype=jnp.int32)
-        (x, cache), _ = jax.lax.scan(
-            scan_step, (x, cache), (layer_ids, weights["layers_stack"]))
+    for seg in weights["layers_segments"]:
+        stack = {k: v for k, v in seg.items() if k != "offset"}
+        n_seg = jax.tree_util.tree_leaves(stack)[0].shape[0]
+        layer_ids = seg["offset"] + jnp.arange(n_seg, dtype=jnp.int32)
+        (x, cache), _ = jax.lax.scan(scan_step, (x, cache), (layer_ids, stack))
 
     # last layer: attention sees all T tokens (their KV must be appended),
     # then only the sampled rows continue through the MLP and head

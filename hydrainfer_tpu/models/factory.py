@@ -281,12 +281,16 @@ def getModelFactory(config: ModelFactoryConfig,
     if architecture == "Qwen2VLForConditionalGeneration" or model_type == "qwen2_vl":
         from .qwen2_vl import Qwen2VLModelFactory
         return Qwen2VLModelFactory(config, context)
-    if architecture == "InternVLChatModel":
+    if architecture == "InternVLChatModel" or model_type == "internvl":
         from .internvl import InternVLModelFactory
         return InternVLModelFactory(config, context)
     if model_type == "deepseek_vl_v2":
         from .deepseek_vl2 import DeepSeekVL2ModelFactory
         return DeepSeekVL2ModelFactory(config, context)
+    if model_type in ("deepseek_v2", "deepseek_v3") or architecture in (
+            "DeepseekV2ForCausalLM", "DeepseekV3ForCausalLM", "DeepseekForCausalLM"):
+        from .deepseek_v3 import DeepSeekModelFactory
+        return DeepSeekModelFactory(config, context)
     if architecture == "MixtralForCausalLM":
         from .mixtral import MixtralModelFactory
         return MixtralModelFactory(config, context)

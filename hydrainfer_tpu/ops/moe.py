@@ -23,10 +23,21 @@ def topk_softmax(router_logits: jax.Array, top_k: int
     """(T, E) logits → (weights (T,k) normalized, expert ids (T,k)).
     Standard Mixtral routing: softmax over all experts, then top-k weights
     renormalized (reference: csrc/kernel/moe/topk_softmax_kernel.cu)."""
-    probs = jax.nn.softmax(router_logits.astype(jnp.float32), axis=-1)
-    weights, idx = jax.lax.top_k(probs, top_k)
-    weights = weights / jnp.sum(weights, axis=-1, keepdims=True)
-    return weights, idx.astype(jnp.int32)
+    return route(router_logits, top_k, scoring="softmax", norm_topk=True)
+
+
+def route(router_logits: jax.Array, top_k: int, scoring: str = "softmax",
+          norm_topk: bool = True, routed_scaling: float = 1.0
+          ) -> Tuple[jax.Array, jax.Array]:
+    """Greedy top-k routing with softmax or sigmoid scoring
+    (reference: hydrainfer/model/deepseek_v3.py:40-93 MoEGate)."""
+    logits = router_logits.astype(jnp.float32)
+    scores = (jax.nn.softmax(logits, axis=-1) if scoring == "softmax"
+              else jax.nn.sigmoid(logits))
+    weights, idx = jax.lax.top_k(scores, top_k)
+    if norm_topk and top_k > 1:
+        weights = weights / (jnp.sum(weights, axis=-1, keepdims=True) + 1e-20)
+    return weights * routed_scaling, idx.astype(jnp.int32)
 
 
 def grouped_topk_sigmoid(scores_logits: jax.Array, bias: jax.Array,

@@ -109,8 +109,8 @@ def quantize_tree(weights, mode: str, keys=("qkv_proj", "o_proj", "gate_up",
     out = dict(weights)
     if "layers" in out:
         out["layers"] = [convert(lw) for lw in out["layers"]]
-    if "layers_stack" in out:
-        out["layers_stack"] = convert(out["layers_stack"])
+    if "layers_segments" in out:
+        out["layers_segments"] = [convert(seg) for seg in out["layers_segments"]]
     if "last_layer" in out:
         out["last_layer"] = convert(out["last_layer"])
     if "lm_head" in out and "lm_head" in keys:

@@ -56,7 +56,7 @@ def replicate(tree, mesh: Mesh):
 def shard_decoder_weights(weights: dict, mesh: Mesh) -> dict:
     """Places a decoder weight pytree on the mesh. Accepts both the
     converted-checkpoint layout ({"layers": [...]}) and the packed scan
-    layout ({"layers_stack", "last_layer"}); stacked arrays get an extra
+    layout ({"layers_segments", "last_layer"}); stacked arrays get an extra
     leading replicated (layer) axis in their spec."""
     def put(x, spec):
         if x is None:
@@ -75,10 +75,12 @@ def shard_decoder_weights(weights: dict, mesh: Mesh) -> dict:
         out["layers"] = [
             {k: put(v, DECODER_WEIGHT_RULES[k]) for k, v in lw.items()}
             for lw in weights["layers"]]
-    if "layers_stack" in weights:
-        out["layers_stack"] = {
-            k: put(v, stacked_spec(DECODER_WEIGHT_RULES[k]))
-            for k, v in weights["layers_stack"].items()}
+    if "layers_segments" in weights:
+        out["layers_segments"] = [
+            {k: (v if k == "offset"
+                 else put(v, stacked_spec(DECODER_WEIGHT_RULES[k])))
+             for k, v in seg.items()}
+            for seg in weights["layers_segments"]]
         out["last_layer"] = {
             k: put(v, DECODER_WEIGHT_RULES[k])
             for k, v in weights["last_layer"].items()}
