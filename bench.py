@@ -124,9 +124,10 @@ def run_bench(arch: str, n_requests: int, prompt_len: int, max_tokens: int,
     # steady-state decode roofline: B tokens per full weight read from HBM
     roofline = n_requests / (factory.param_bytes() / V5E_HBM_BW)
     ttfts = sorted(o.ttft for o in outs)
-    tbts = []
-    for o in outs:
-        tbts.extend(np.diff(o.token_times))
+    # average inter-token time per request (robust to batched postprocess
+    # delivering tokens in bursts: per-token diffs would read ~0)
+    tbts = [(o.token_times[-1] - o.token_times[0]) / (len(o.token_times) - 1)
+            for o in outs if len(o.token_times) > 1]
     return {
         "metric": f"engine_decode_tokens_per_s_per_chip_{arch}_" + (quantization if quantization != "none" else "bf16"),
         "value": round(tput, 2),

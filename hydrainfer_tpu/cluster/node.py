@@ -71,11 +71,15 @@ class NodeConfig:
     # across the host's build/dispatch gap; tokens stream out ~depth steps
     # late. 0 restores fully synchronous stepping.
     async_pipeline_depth: int = 2
-    # run fill postprocessing (the device→host token read) on a background
-    # thread so the step loop never blocks on the transfer — on the tunneled
-    # TPU a same-thread read costs ~1 full device step even when lagged,
-    # because D2H transfers queue behind enqueued compute
-    threaded_postprocess: bool = True
+    # batch the device→host token reads: postprocess every K fill steps with
+    # ONE concatenated transfer. On the tunneled TPU a same-thread read
+    # costs ~1 full device step regardless of pipeline lag (transfers queue
+    # behind enqueued compute), so amortizing it K× is the big lever.
+    # Streaming latency grows to ~K device steps. 1 = read every step.
+    postprocess_batch_steps: int = 4
+    # run fill postprocessing on a background thread instead (not the
+    # default: on small hosts the reader thread starves the runtime's I/O)
+    threaded_postprocess: bool = False
     max_threaded_backlog: int = 32
     token_table_size: int = 4096
 
@@ -288,9 +292,10 @@ class AsyncEPDNode:
         self.executor.execute_empty(empties)
         embed_future.get()
         backlog = (self.config.max_threaded_backlog if self._post_pool is not None
-                   else self.config.async_pipeline_depth)
-        while len(self._pending_fills) > backlog:
-            self._wait_one()
+                   else max(self.config.async_pipeline_depth,
+                            self.config.postprocess_batch_steps))
+        if len(self._pending_fills) > backlog:
+            self.flush_fills()
         await asyncio.gather(*migrate_tasks)
 
         if self.config.log_latency_breakdown:
@@ -372,7 +377,28 @@ class AsyncEPDNode:
             item.get()
 
     def flush_fills(self) -> None:
-        """Drain the async fill pipeline (resolves all sampled tokens)."""
+        """Drain the async fill pipeline: ONE batched device→host read for
+        all pending steps' sampled tokens, then their host postprocessing
+        in dispatch order."""
+        if not self._pending_fills:
+            return
+        import numpy as np
+
+        from ..engine.executor import postprocess_plan
+        batched = [f for f in self._pending_fills
+                   if getattr(f, "plan", None) is not None]
+        if len(batched) == len(self._pending_fills) and len(batched) > 1:
+            import jax.numpy as jnp
+            arrs = [f.sampled_dev for f in batched]
+            flat = np.asarray(jnp.concatenate(arrs))
+            off = 0
+            for f in batched:
+                n = f.sampled_dev.shape[0]
+                postprocess_plan(f.plan, flat[off:off + n])
+                f._done = True
+                off += n
+            self._pending_fills.clear()
+            return
         while self._pending_fills:
             self._wait_one()
 

@@ -161,35 +161,41 @@ class FillExecutor:
         batch.step()
 
         def postprocess():
-            # the only host↔device sync in the fill path — the node runs it
-            # a few steps behind dispatch (async pipeline), so the device
-            # never waits on the host between decode steps
-            sampled = np.asarray(sampled_dev)
-            token_time = time.perf_counter()
-            for i, (rcb, inst) in enumerate(zip(plan.seq_rcbs, plan.seq_insts)):
-                if not inst.sample:
-                    continue
-                next_token = int(sampled[i])
-                if inst.sample_dst is not None:
-                    # resolve on host too (migration and debugging read this)
-                    inst.sample_dst.token_ids = [next_token]
-                if inst.is_chunked:
-                    continue
-                # Termination is decided from TOKEN state only: under the
-                # async pipeline the instruction cursor runs 1-2 steps ahead
-                # of token postprocessing, so rcb.is_finished() (which also
-                # looks at the cursor) would fire early here — and a request
-                # may have surplus in-flight steps after its terminating
-                # token, which must be dropped.
-                if _tokens_done(rcb):
-                    continue
-                rcb.metric.token_times.append(token_time)
-                rcb.output_token_ids.append(next_token)
-                is_last = _tokens_done(rcb)
-                for proc in rcb.output_token_processors:
-                    proc.append_token_id(next_token, is_last)
+            # the only host↔device sync in the fill path — the node batches
+            # these reads every few steps (see AsyncEPDNode.flush_fills), so
+            # the device never waits on the host between decode steps
+            postprocess_plan(plan, np.asarray(sampled_dev))
 
-        return CallbackFuture(postprocess)
+        fut = CallbackFuture(postprocess)
+        fut.plan = plan
+        fut.sampled_dev = sampled_dev
+        return fut
+
+
+def postprocess_plan(plan, sampled: np.ndarray) -> None:
+    """Host-side consumption of one fill step's sampled tokens."""
+    token_time = time.perf_counter()
+    for i, (rcb, inst) in enumerate(zip(plan.seq_rcbs, plan.seq_insts)):
+        if not inst.sample:
+            continue
+        next_token = int(sampled[i])
+        if inst.sample_dst is not None:
+            # resolve on host too (migration and debugging read this)
+            inst.sample_dst.token_ids = [next_token]
+        if inst.is_chunked:
+            continue
+        # Termination is decided from TOKEN state only: under the async
+        # pipeline the instruction cursor runs ahead of token
+        # postprocessing, so rcb.is_finished() (which also looks at the
+        # cursor) would fire early here — and a request may have surplus
+        # in-flight steps after its terminating token, which must be dropped.
+        if _tokens_done(rcb):
+            continue
+        rcb.metric.token_times.append(token_time)
+        rcb.output_token_ids.append(next_token)
+        is_last = _tokens_done(rcb)
+        for proc in rcb.output_token_processors:
+            proc.append_token_id(next_token, is_last)
 
 
 class ImageEmbedExecutor:
