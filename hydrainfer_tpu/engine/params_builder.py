@@ -1,4 +1,4 @@
-"""Ragged batch → padded static-shape LanguageModelBatch.
+"""Ragged batch → padded static-shape flat fill buffer.
 
 TPU-native replacement for the reference's LanguageModelParametersBuilder
 (reference: hydrainfer/engine/parameters_builder.py:46-97, which assembles
@@ -8,17 +8,19 @@ combination compiles exactly once — the jit cache plays the role the CUDA
 graph runner plays in the reference (reference:
 hydrainfer/model_runner/cuda_graph_model_runner.py:29-73), but covers mixed
 prefill+decode batches, not just all-decode ones.
+
+Packing runs through the native C++ extension (csrc/hostops.cpp) when built
+and falls back to the pure-Python path, which doubles as the test oracle.
 """
 import bisect
 from dataclasses import dataclass
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
-import jax.numpy as jnp
 import numpy as np
 
+from .._C import hostops
 from ..memory import TokenCacheBlockManager
-from ..models.factory import LanguageModelBatch, LanguageModelConfig
-from ..ops.attention import PagedAttentionParams
+from ..models.factory import FillDims, LanguageModelConfig, pack_fill_batch
 from .isa import Fill, ImageEmbedFill
 from .rcb import BatchRequest, RequestControlBlock
 
@@ -44,7 +46,7 @@ class FillBatchPlan:
     buffer, its static dims (the jit key), and which seq slot belongs to
     which request."""
     flat: np.ndarray
-    dims: object                                  # models.factory.FillDims
+    dims: FillDims
     seq_rcbs: List[RequestControlBlock]           # per used seq slot
     seq_insts: List[Fill]
     n_tokens: int
@@ -53,6 +55,10 @@ class FillBatchPlan:
     @property
     def max_q(self) -> int:
         return self.dims.max_q
+
+
+def _is_range(ids: List[int]) -> bool:
+    return len(ids) == 1 or ids[-1] - ids[0] == len(ids) - 1
 
 
 class LanguageModelBatchBuilder:
@@ -65,49 +71,32 @@ class LanguageModelBatchBuilder:
         self.lcfg = language_config
         self.image_token_id = image_token_id
 
-        self.token_ids: List[int] = []
-        self.token_src_slots: List[int] = []
-        self.positions: List[int] = []
-        self.new_slots: List[int] = []
-        self.q_seq_ids: List[int] = []
-        self.q_local_ids: List[int] = []
-        self.kv_lens: List[int] = []
-        self.block_tables: List[np.ndarray] = []
         self.image_slot_ids: List[int] = []
         self.image_dst_idx: List[int] = []
         self.seq_rcbs: List[RequestControlBlock] = []
         self.seq_insts: List[Fill] = []
+        self._n_tokens = 0
+        self._max_q = 1
+        self._max_blocks = 1
+        self._contiguous = True
 
     def add(self, rcb: RequestControlBlock, inst: Fill) -> None:
-        s = len(self.seq_rcbs)
-        t0 = len(self.token_ids)
         n = len(inst.position_ids)
-
         if isinstance(inst, ImageEmbedFill) and inst.image_token_cache_ids:
             slots = self.image.v2p(rcb.virtual_image_cache,
                                    inst.image_token_cache_ids)
             self.image_slot_ids.extend(slots)
             self.image_dst_idx.extend(
-                t0 + i for i, is_img in enumerate(inst.image_token_mask) if is_img)
-
-        if n == 1 and inst.token_ids[0] < 0:
-            # unresolved decode token: the device token table feeds it
-            # (async decode — no host sync between producer and consumer)
-            assert rcb.token_slot >= 0, "decode fill without a token slot"
-            self.token_ids.append(0)
-            self.token_src_slots.append(rcb.token_slot)
-        else:
-            self.token_ids.extend(inst.token_ids)
-            self.token_src_slots.extend([-1] * n)
-        self.positions.extend(inst.position_ids)
-        self.new_slots.extend(self.kv.v2p(rcb.virtual_kv_cache, inst.cache_ids))
-        self.q_seq_ids.extend([s] * n)
-        self.q_local_ids.extend(range(n))
-        self.kv_lens.append(inst.cache_ids[-1] + 1)
-        self.block_tables.append(
-            np.asarray(rcb.virtual_kv_cache.block_table, dtype=np.int32))
+                self._n_tokens + i
+                for i, is_img in enumerate(inst.image_token_mask) if is_img)
         self.seq_rcbs.append(rcb)
         self.seq_insts.append(inst)
+        self._n_tokens += n
+        self._max_q = max(self._max_q, n)
+        self._max_blocks = max(self._max_blocks,
+                               len(rcb.virtual_kv_cache.block_table))
+        if not (_is_range(inst.cache_ids) and _is_range(inst.position_ids)):
+            self._contiguous = False
 
     def add_batch(self, batch: BatchRequest) -> None:
         for rcb, inst in batch:
@@ -115,63 +104,99 @@ class LanguageModelBatchBuilder:
                 self.add(rcb, inst)
 
     def build(self) -> FillBatchPlan:
-        from ..models.factory import FillDims, pack_fill_batch
-
-        n_tokens = len(self.token_ids)
         n_seqs = len(self.seq_rcbs)
-        T = bucket_of(n_tokens, TOKEN_BUCKETS)
-        S = bucket_of(n_seqs, SEQ_BUCKETS)
-        max_q = _next_pow2(max((len(i.token_ids) for i in self.seq_insts),
-                               default=1))
-        max_blocks = _next_pow2(max((len(bt) for bt in self.block_tables),
-                                    default=1))
-        n_img = len(self.image_slot_ids)
-        Ti = bucket_of(n_img, TOKEN_BUCKETS) if n_img else 0
-        dims = FillDims(T=T, S=S, MB=max_blocks, Ti=Ti, max_q=max_q)
+        dims = FillDims(
+            T=bucket_of(self._n_tokens, TOKEN_BUCKETS),
+            S=bucket_of(n_seqs, SEQ_BUCKETS),
+            MB=_next_pow2(self._max_blocks),
+            Ti=(bucket_of(len(self.image_slot_ids), TOKEN_BUCKETS)
+                if self.image_slot_ids else 0),
+            max_q=_next_pow2(self._max_q))
+        if hostops is not None and self._contiguous:
+            flat = self._build_native(dims)
+        else:
+            flat = self._build_python(dims)
+        return FillBatchPlan(flat=flat, dims=dims, seq_rcbs=self.seq_rcbs,
+                             seq_insts=self.seq_insts,
+                             n_tokens=self._n_tokens, n_seqs=n_seqs)
+
+    # ---------------- native packing ----------------
+
+    def _build_native(self, dims: FillDims) -> np.ndarray:
+        bs = self.kv.block_size
+        seqs = []
+        for rcb, inst in zip(self.seq_rcbs, self.seq_insts):
+            n = len(inst.position_ids)
+            unresolved = n == 1 and inst.token_ids[0] < 0
+            dst = rcb.token_slot if (inst.sample and inst.sample_dst is not None) else -1
+            seqs.append((
+                None if unresolved else inst.token_ids,
+                inst.position_ids[0], n,
+                rcb.token_slot, inst.cache_ids[-1] + 1, dst,
+                rcb.virtual_kv_cache.block_table, inst.cache_ids[0]))
+        need = 6 * dims.T + 3 * dims.S + dims.S * dims.MB + dims.S + 2 + 2 * dims.Ti
+        flat = np.empty(need, np.int32)
+        hostops.pack_fill_batch(flat, dims.T, dims.S, dims.MB, dims.Ti, bs,
+                                seqs, self.image_slot_ids, self.image_dst_idx)
+        return flat
+
+    # ---------------- python packing (the oracle / fallback) ----------------
+
+    def _build_python(self, dims: FillDims) -> np.ndarray:
+        T, S, MB, Ti = dims.T, dims.S, dims.MB, dims.Ti
+
+        token_ids: List[int] = []
+        token_src: List[int] = []
+        positions: List[int] = []
+        new_slots: List[int] = []
+        q_seq_ids: List[int] = []
+        q_local_ids: List[int] = []
+        kv_lens: List[int] = []
+        tables = np.full((S, MB), -1, np.int32)
+        sample_idx = np.full(S, -1, np.int32)
+        dst_slots = np.full(S, -1, np.int32)
+        cu = np.zeros(S + 1, np.int32)
+
+        for s, (rcb, inst) in enumerate(zip(self.seq_rcbs, self.seq_insts)):
+            n = len(inst.position_ids)
+            if n == 1 and inst.token_ids[0] < 0:
+                assert rcb.token_slot >= 0, "decode fill without a token slot"
+                token_ids.append(0)
+                token_src.append(rcb.token_slot)
+            else:
+                token_ids.extend(inst.token_ids)
+                token_src.extend([-1] * n)
+            positions.extend(inst.position_ids)
+            new_slots.extend(self.kv.v2p(rcb.virtual_kv_cache, inst.cache_ids))
+            q_seq_ids.extend([s] * n)
+            q_local_ids.extend(range(n))
+            kv_lens.append(inst.cache_ids[-1] + 1)
+            bt = rcb.virtual_kv_cache.block_table
+            tables[s, :len(bt)] = bt
+            sample_idx[s] = len(token_ids) - 1
+            if inst.sample and inst.sample_dst is not None:
+                dst_slots[s] = rcb.token_slot
+            cu[s + 1] = len(token_ids)
+        cu[len(self.seq_insts) + 1:] = cu[len(self.seq_insts)]
 
         def pad_i32(vals, size, fill=0):
             a = np.full(size, fill, np.int32)
             a[:len(vals)] = vals
             return a
 
-        tables = np.full((S, max_blocks), -1, np.int32)
-        for i, bt in enumerate(self.block_tables):
-            tables[i, :len(bt)] = bt
-
-        # every used seq slot samples its chunk's last token; the executor
-        # decides host-side which samples are consumable
-        sample_idx = np.full(S, -1, np.int32)
-        dst_slots = np.full(S, -1, np.int32)
-        t = 0
-        for i, inst in enumerate(self.seq_insts):
-            t += len(inst.token_ids)
-            sample_idx[i] = t - 1
-            if inst.sample and inst.sample_dst is not None:
-                dst_slots[i] = self.seq_rcbs[i].token_slot
-
-        cu = np.zeros(S + 1, np.int32)
-        acc = 0
-        for i, inst in enumerate(self.seq_insts):
-            acc += len(inst.token_ids)
-            cu[i + 1] = acc
-        cu[len(self.seq_insts) + 1:] = acc
-
-        flat = pack_fill_batch(
-            cu_q_lens=cu,
-            num_seqs=np.asarray([n_seqs], np.int32),
-            token_ids=pad_i32(self.token_ids, T),
-            positions=pad_i32(self.positions, T),
-            q_seq_ids=pad_i32(self.q_seq_ids, T, fill=-1),
-            q_local_ids=pad_i32(self.q_local_ids, T),
-            new_kv_slot_ids=pad_i32(self.new_slots, T, fill=-1),
-            token_src_slots=pad_i32(self.token_src_slots, T, fill=-1),
-            kv_lens=pad_i32(self.kv_lens, S),
+        return pack_fill_batch(
+            token_ids=pad_i32(token_ids, T),
+            positions=pad_i32(positions, T),
+            q_seq_ids=pad_i32(q_seq_ids, T, fill=-1),
+            q_local_ids=pad_i32(q_local_ids, T),
+            new_kv_slot_ids=pad_i32(new_slots, T, fill=-1),
+            token_src_slots=pad_i32(token_src, T, fill=-1),
+            kv_lens=pad_i32(kv_lens, S),
             sample_token_idx=sample_idx,
             sample_dst_slots=dst_slots,
             block_tables=tables,
+            cu_q_lens=cu,
+            num_seqs=np.asarray([len(self.seq_insts)], np.int32),
             image_slot_ids=pad_i32(self.image_slot_ids, Ti),
             image_dst_idx=pad_i32(self.image_dst_idx, Ti, fill=-1),
             dims=dims)
-        return FillBatchPlan(flat=flat, dims=dims, seq_rcbs=self.seq_rcbs,
-                             seq_insts=self.seq_insts, n_tokens=n_tokens,
-                             n_seqs=n_seqs)
