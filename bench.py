@@ -44,16 +44,19 @@ class _NoImages(ImageTokenCalculator):
 
 
 class RandomWeightFactory(ModelFactory):
-    def __init__(self, arch: str, dtype=jnp.bfloat16, quantization: str = "none"):
+    def __init__(self, arch: str, dtype=jnp.bfloat16, quantization: str = "none",
+                 kv_scale=None):
         self.cfg = ARCH_CONFIGS[arch]
         self.dtype = dtype
         self.quantization = quantization
+        self.kv_scale = kv_scale
         self._lm = None
 
     def getLanguageModel(self):
         if self._lm is None:
             w = init_decoder_weights(self.cfg, jax.random.PRNGKey(0), self.dtype)
-            self._lm = LlamaForCausalLM(w, self.cfg, self.quantization)
+            self._lm = LlamaForCausalLM(w, self.cfg, self.quantization,
+                                        kv_scale=self.kv_scale)
         return self._lm
 
     def getVisionModel(self):
@@ -82,8 +85,10 @@ class RandomWeightFactory(ModelFactory):
 
 
 def run_bench(arch: str, n_requests: int, prompt_len: int, max_tokens: int,
-              token_budget: int, quantization: str = "none"):
-    factory = RandomWeightFactory(arch, quantization=quantization)
+              token_budget: int, quantization: str = "none",
+              kv_int8: bool = False):
+    factory = RandomWeightFactory(arch, quantization=quantization,
+                                  kv_scale=0.05 if kv_int8 else None)
     cfg = NodeConfig(
         batch_scheduler=BatchSchedulerConfig(
             max_running_requests=n_requests, priority="prefill"),
@@ -93,6 +98,8 @@ def run_bench(arch: str, n_requests: int, prompt_len: int, max_tokens: int,
         n_image_blocks=1,
     )
     cfg.model.dtype = "bf16"
+    if kv_int8:
+        cfg.model.kv_cache_dtype = "int8"
     engine = OfflineEngine(cfg, model_factory=factory, node_type="PD")
     engine.node.batch_scheduler.token_budget = token_budget
 
@@ -129,7 +136,7 @@ def run_bench(arch: str, n_requests: int, prompt_len: int, max_tokens: int,
     tbts = [(o.token_times[-1] - o.token_times[0]) / (len(o.token_times) - 1)
             for o in outs if len(o.token_times) > 1]
     return {
-        "metric": f"engine_decode_tokens_per_s_per_chip_{arch}_" + (quantization if quantization != "none" else "bf16"),
+        "metric": f"engine_decode_tokens_per_s_per_chip_{arch}_" + (quantization if quantization != "none" else "bf16") + ("_kvint8" if kv_int8 else ""),
         "value": round(tput, 2),
         "unit": "tokens/s",
         "vs_baseline": round(tput / roofline, 4),
@@ -152,9 +159,11 @@ def main():
     ap.add_argument("--max-tokens", type=int, default=128)
     ap.add_argument("--token-budget", type=int, default=2048)
     ap.add_argument("--quant", default="none", choices=["none", "int8", "int4"])
+    ap.add_argument("--kv-int8", action="store_true")
     args = ap.parse_args()
     result = run_bench(args.arch, args.n_requests, args.prompt_len,
-                       args.max_tokens, args.token_budget, args.quant)
+                       args.max_tokens, args.token_budget, args.quant,
+                       kv_int8=args.kv_int8)
     print(json.dumps(result))
 
 

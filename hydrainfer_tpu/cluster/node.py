@@ -176,12 +176,14 @@ class AsyncEPDNode:
 
         # combined-head layout (K even / V odd on one head axis) — the
         # native layout of the TPU ragged paged attention kernel
+        kv_dtype = ("int8" if self.config.model.kv_cache_dtype == "int8"
+                    else self.config.model.dtype)
         kv_cfg = TokenCacheBlockManagerConfig(
             n_layers=lc.n_layers, n_tensors=1,
             n_blocks=max(self.config.n_kv_blocks, 1),
             block_size=self.config.kv_block_size,
             n_heads=2 * lc.n_kv_heads, head_dim=lc.head_dim,
-            dtype=self.config.model.dtype)
+            dtype=kv_dtype)
         img_cfg = TokenCacheBlockManagerConfig(
             n_layers=1, n_tensors=1,
             n_blocks=max(self.config.n_image_blocks, 1),

@@ -46,6 +46,10 @@ class DecoderConfig:
     rope_interleaved: bool = False
     tie_word_embeddings: bool = False
     attention_impl: str = "auto"
+    # INT8 KV cache: when set, K/V are quantized symmetrically with this
+    # static scale on write and dequantized inside the attention kernel
+    # (ragged kernel k_scale/v_scale path). None = cache in model dtype.
+    kv_scale: float = None
     # sparse MoE MLP (0 = dense): layers carry moe_router/moe_gate_up/moe_down
     moe_top_k: int = 0
     n_experts: int = 0
@@ -114,15 +118,24 @@ def _layer_body(x, cache, layer_id, lw, batch: LanguageModelBatch,
     k = apply_rotary_emb(k.reshape(T, Hkv, D), cos, sin, cfg.rope_interleaved)
     v = v.reshape(T, Hkv, D)
 
-    block_size = cache.shape[3]
-    cache = write_kv_cache(cache, layer_id, batch.attention.new_kv_slot_ids,
-                           k, v, block_size)
+    cache = _write_kv(cache, layer_id, batch, k, v, cfg)
     attn = paged_attention(q, cache, layer_id, batch.attention,
-                           1.0 / (D ** 0.5), max_q, impl=cfg.attention_impl)
+                           1.0 / (D ** 0.5), max_q, impl=cfg.attention_impl,
+                           kv_scale=cfg.kv_scale)
     x = x + qmatmul(attn.reshape(T, Hq * D), lw["o_proj"])
 
     h = rms_norm(x, lw["post_norm"], cfg.rms_norm_eps)
     return x + _mlp(h, lw, cfg), cache
+
+
+def _write_kv(cache, layer_id, batch, k, v, cfg: DecoderConfig):
+    if cfg.kv_scale is not None:
+        k = jnp.clip(jnp.round(k.astype(jnp.float32) / cfg.kv_scale),
+                     -127, 127).astype(jnp.int8)
+        v = jnp.clip(jnp.round(v.astype(jnp.float32) / cfg.kv_scale),
+                     -127, 127).astype(jnp.int8)
+    return write_kv_cache(cache, layer_id, batch.attention.new_kv_slot_ids,
+                          k, v, cache.shape[3])
 
 
 def _mlp(h: jax.Array, lw: dict, cfg: DecoderConfig) -> jax.Array:
@@ -200,11 +213,11 @@ def decoder_forward(weights: dict, cache: jax.Array, batch: LanguageModelBatch,
     q, k, v = jnp.split(qkv, [Hq * D, (Hq + Hkv) * D], axis=-1)
     q = apply_rotary_emb(q.reshape(T, Hq, D), cos, sin, cfg.rope_interleaved)
     k = apply_rotary_emb(k.reshape(T, Hkv, D), cos, sin, cfg.rope_interleaved)
-    cache = write_kv_cache(cache, cfg.n_layers - 1,
-                           batch.attention.new_kv_slot_ids, k,
-                           v.reshape(T, Hkv, D), cache.shape[3])
+    cache = _write_kv(cache, cfg.n_layers - 1, batch, k,
+                      v.reshape(T, Hkv, D), cfg)
     attn = paged_attention(q, cache, cfg.n_layers - 1, batch.attention,
-                           1.0 / (D ** 0.5), max_q, impl=cfg.attention_impl)
+                           1.0 / (D ** 0.5), max_q, impl=cfg.attention_impl,
+                           kv_scale=cfg.kv_scale)
     x = x + qmatmul(attn.reshape(T, Hq * D), lw["o_proj"])
     x = jnp.take(x, sample_idx, axis=0)                  # token discard
     h = rms_norm(x, lw["post_norm"], cfg.rms_norm_eps)

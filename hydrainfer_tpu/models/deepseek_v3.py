@@ -95,7 +95,8 @@ class DeepSeekModelFactory(ModelFactory):
             weights = convert_deepseek_weights(store, self.decoder_cfg,
                                                self.text_cfg)
             self._lm = LlamaForCausalLM(weights, self.decoder_cfg,
-                                        self.config.quantization)
+                                        self.config.quantization,
+                                        kv_scale=(self.config.kv_scale if self.config.kv_cache_dtype == 'int8' else None))
         return self._lm
 
     def getVisionModel(self):

@@ -301,7 +301,8 @@ class DeepSeekVL2ModelFactory(ModelFactory):
                 self._get_store(), self.decoder_cfg, self.text_cfg,
                 prefix="language.model.", lm_head_name="language.lm_head")
             self._lm = LlamaForCausalLM(weights, self.decoder_cfg,
-                                        self.config.quantization)
+                                        self.config.quantization,
+                                        kv_scale=(self.config.kv_scale if self.config.kv_cache_dtype == 'int8' else None))
         return self._lm
 
     def getVisionModel(self) -> DeepSeekVL2VisionModel:

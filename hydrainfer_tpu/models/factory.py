@@ -247,6 +247,10 @@ class ModelFactoryConfig:
     attention_impl: str = "auto"
     # weight-only quantization of the decoder matmuls: none | int8 | int4
     quantization: str = "none"
+    # KV cache dtype: auto (= model dtype) | int8 (symmetric, static scale,
+    # dequantized inside the attention kernel)
+    kv_cache_dtype: str = "auto"
+    kv_scale: float = 0.05
 
 
 @dataclass

@@ -358,7 +358,8 @@ class InternVLModelFactory(ModelFactory):
                                                 prefix="language_model.model.",
                                                 lm_head_name="language_model.lm_head")
             self._lm = LlamaForCausalLM(weights, self.decoder_cfg,
-                                        self.config.quantization)
+                                        self.config.quantization,
+                                        kv_scale=(self.config.kv_scale if self.config.kv_cache_dtype == 'int8' else None))
         return self._lm
 
     def getVisionModel(self) -> InternVLVisionModel:

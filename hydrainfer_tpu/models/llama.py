@@ -68,7 +68,10 @@ def convert_llama_weights(store: WeightStore, cfg: DecoderConfig,
 
 class LlamaForCausalLM(LanguageModel):
     def __init__(self, weights: dict, cfg: DecoderConfig,
-                 quantization: str = "none"):
+                 quantization: str = "none", kv_scale=None):
+        if kv_scale is not None:
+            import dataclasses
+            cfg = dataclasses.replace(cfg, kv_scale=kv_scale)
         self.cfg = cfg
         from ..ops.quant import quantize_tree
         weights = quantize_tree(weights, quantization)

@@ -115,7 +115,8 @@ class LlavaModelFactory(ModelFactory):
             weights = convert_llama_weights(self._get_store(), self.decoder_cfg,
                                             prefix=lm_prefix, lm_head_name=head)
             self._lm = LlamaForCausalLM(weights, self.decoder_cfg,
-                                        self.config.quantization)
+                                        self.config.quantization,
+                                        kv_scale=(self.config.kv_scale if self.config.kv_cache_dtype == 'int8' else None))
         return self._lm
 
     def getVisionModel(self) -> LlavaVisionModel:

@@ -67,7 +67,8 @@ class MixtralModelFactory(ModelFactory):
             store = WeightStore(self.config.path, cast_dtype=self.config.dtype)
             weights = convert_mixtral_weights(store, self.decoder_cfg)
             self._lm = LlamaForCausalLM(weights, self.decoder_cfg,
-                                        self.config.quantization)
+                                        self.config.quantization,
+                                        kv_scale=(self.config.kv_scale if self.config.kv_cache_dtype == 'int8' else None))
         return self._lm
 
     def getVisionModel(self):

@@ -33,7 +33,8 @@ class TextOnlyModelFactory(ModelFactory):
             weights = convert_llama_weights(store, self.decoder_cfg)
             store.assert_consumed()
             self._lm = LlamaForCausalLM(weights, self.decoder_cfg,
-                                        self.config.quantization)
+                                        self.config.quantization,
+                                        kv_scale=(self.config.kv_scale if self.config.kv_cache_dtype == 'int8' else None))
         return self._lm
 
     def getVisionModel(self):

@@ -84,7 +84,7 @@ def _repeat_kv(x: jax.Array, n_rep: int) -> jax.Array:
 
 def paged_attention_jnp(q: jax.Array, cache: jax.Array, layer_id,
                         params: PagedAttentionParams, sm_scale: float,
-                        max_q: int) -> jax.Array:
+                        max_q: int, kv_scale: Optional[float] = None) -> jax.Array:
     """Gather-dense reference implementation.
 
     q: (T, H, D). cache: (L, 1, n_blocks, block_size, 2*KVH, D).
@@ -97,6 +97,9 @@ def paged_attention_jnp(q: jax.Array, cache: jax.Array, layer_id,
 
     k = _gather_pages(cache, layer_id, 0, params.block_tables, 0)
     v = _gather_pages(cache, layer_id, 0, params.block_tables, 1)
+    if kv_scale is not None:
+        k = (k.astype(jnp.float32) * kv_scale).astype(q.dtype)
+        v = (v.astype(jnp.float32) * kv_scale).astype(q.dtype)
     max_kv = k.shape[1]
     k = _repeat_kv(k, H // KVH)  # (S, max_kv, H, D)
     v = _repeat_kv(v, H // KVH)
@@ -154,17 +157,20 @@ def paged_attention_ragged(q: jax.Array, cache: jax.Array, layer_id,
 
 def paged_attention(q: jax.Array, cache: jax.Array, layer_id,
                     params: PagedAttentionParams, sm_scale: float,
-                    max_q: int, impl: str = "auto") -> jax.Array:
+                    max_q: int, impl: str = "auto",
+                    kv_scale: Optional[float] = None) -> jax.Array:
     """Handler-chain entry point. See module docstring for impl choices."""
     if impl in ("auto", "ragged", "pallas"):
         try:
             if impl == "auto" and jax.default_backend() != "tpu":
                 raise ImportError("ragged kernel is TPU-only; fall back")
-            return paged_attention_ragged(q, cache, layer_id, params, sm_scale)
+            return paged_attention_ragged(q, cache, layer_id, params, sm_scale,
+                                          k_scale=kv_scale, v_scale=kv_scale)
         except Exception:
             if impl in ("ragged", "pallas"):
                 raise
-    return paged_attention_jnp(q, cache, layer_id, params, sm_scale, max_q)
+    return paged_attention_jnp(q, cache, layer_id, params, sm_scale, max_q,
+                               kv_scale=kv_scale)
 
 
 # ---------------- ViT attention ----------------

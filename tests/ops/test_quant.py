@@ -95,3 +95,41 @@ def test_int8_logits_close_to_fp32():
     q = np.asarray(logits_q[0])
     corr = np.corrcoef(fp, q)[0, 1]
     assert corr > 0.999, f"int8 logits diverged, corr={corr}"
+
+
+def test_int8_kv_cache_logits_close_to_fp32():
+    import tempfile
+
+    import torch
+    import transformers
+
+    from hydrainfer_tpu.models import ModelFactoryConfig, getModelFactory
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "models"))
+    from test_llama_vs_hf import make_single_seq_batch
+
+    path = tempfile.mkdtemp()
+    cfg = transformers.LlamaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2)
+    torch.manual_seed(0)
+    transformers.LlamaForCausalLM(cfg).eval().float().save_pretrained(
+        path, safe_serialization=True)
+
+    lm_fp = getModelFactory(ModelFactoryConfig(
+        path=path, dtype="float32", attention_impl="jnp")).getLanguageModel()
+    lm_q = getModelFactory(ModelFactoryConfig(
+        path=path, dtype="float32", attention_impl="jnp",
+        kv_cache_dtype="int8", kv_scale=0.02)).getLanguageModel()
+
+    prompt = list(np.random.default_rng(1).integers(0, 128, size=12))
+    batch, T = make_single_seq_batch(prompt, n_past=0)
+    cache_fp = jnp.zeros((2, 1, 16, 4, 4, 16), jnp.float32)
+    _, _, logits_fp = lm_fp.forward_with_logits(cache_fp, batch, max_q=T)
+    cache_q = jnp.zeros((2, 1, 16, 4, 4, 16), jnp.int8)
+    _, _, logits_q = lm_q.forward_with_logits(cache_q, batch, max_q=T)
+    fp = np.asarray(logits_fp[0])
+    q = np.asarray(logits_q[0])
+    corr = np.corrcoef(fp, q)[0, 1]
+    assert corr > 0.98, f"int8-KV logits diverged, corr={corr}"
+    assert np.asarray(logits_q).dtype == np.float32
