@@ -42,6 +42,9 @@ class ClusterConfig:
     cluster_type: str = "auto"          # auto | general | hybrid | single
     nodes: List[NodeSpec] = field(default_factory=list)
     node: NodeConfig = field(default_factory=NodeConfig)
+    # tensor-parallel degree per node: each node owns tp_size devices and
+    # shards its LM weights + kv-head axis over them (GSPMD)
+    tp_size: int = 1
 
 
 def resolve_cluster_topology(cluster_type: str, n_devices: int) -> List[NodeSpec]:
@@ -68,18 +71,28 @@ def resolve_cluster_topology(cluster_type: str, n_devices: int) -> List[NodeSpec
 class Cluster(RequestObserver):
     def __init__(self, config: ClusterConfig,
                  model_factory: Optional[ModelFactory] = None,
-                 devices: Optional[list] = None):
+                 devices: Optional[list] = None,
+                 model_factory_provider=None):
+        """model_factory: ONE factory shared by all nodes (its cached models
+        are shared — fine for single-device nodes / tests). For
+        tensor-parallel nodes each node must own its weight copy: pass
+        model_factory_provider (a zero-arg callable) or rely on the default,
+        which builds a fresh factory per node from config.node.model."""
         self.config = config
         devices = devices if devices is not None else jax.devices()
+        tp = max(1, config.tp_size)
+        n_groups = max(1, len(devices) // tp)
         specs = config.nodes or resolve_cluster_topology(
-            config.cluster_type, len(devices))
+            config.cluster_type, n_groups)
 
         self.nodes: List[AsyncEPDNode] = []
         dev_idx = 0
         for spec in specs:
             for r in range(spec.n_replicas):
                 name = f"{spec.node_type.lower()}{r}"
-                device = devices[dev_idx % len(devices)]
+                group = [devices[(dev_idx * tp + i) % len(devices)]
+                         for i in range(tp)]
+                device = group if tp > 1 else group[0]
                 dev_idx += 1
                 node = AsyncEPDNode(config.node, NodeContext(
                     name=name, node_type=NodeType(spec.node_type),
@@ -88,7 +101,12 @@ class Cluster(RequestObserver):
                 self.nodes.append(node)
 
         for node in self.nodes:
-            node.init(model_factory)
+            if model_factory is not None:
+                node.init(model_factory)
+            elif model_factory_provider is not None:
+                node.init(model_factory_provider())
+            else:
+                node.init(None)  # node builds from config.node.model
 
         builder = MigrateGraphBuilder()
         for node in self.nodes:

@@ -88,7 +88,9 @@ class NodeConfig:
 class NodeContext:
     name: str = "node0"
     node_type: NodeType = field(default_factory=NodeType)
-    device: Optional[object] = None   # jax.Device owning this node's caches
+    # one jax.Device, or a LIST of devices → the node forms a tensor-parallel
+    # mesh over them (weights + kv-head axis sharded, GSPMD collectives)
+    device: Optional[object] = None
     migrate_graph: Optional[MigrateGraph] = None
 
 
@@ -105,7 +107,15 @@ class AsyncEPDNode:
         self.config = config
         self.context = context
         self.name = f"{context.node_type}Node:{context.name}"
-        self.device = context.device or jax.devices()[0]
+        dev = context.device or jax.devices()[0]
+        self.mesh = None
+        if isinstance(dev, (list, tuple)):
+            if len(dev) > 1:
+                from ..parallel.mesh import make_mesh
+                self.mesh = make_mesh(axis_names=("dp", "tp"),
+                                      shape=(1, len(dev)), devices=list(dev))
+            dev = dev[0]
+        self.device = dev
         self._stop = False
         self._tasks = []
 
@@ -223,6 +233,16 @@ class AsyncEPDNode:
                                  if nt.has_kv_cache else None)
         self.image_cache_manager = (TokenCacheBlockManager(img_cfg, self.device, self.name)
                                     if nt.has_image_cache else None)
+        if self.mesh is not None:
+            from ..parallel.mesh import shard_kv_cache
+            if self.kv_cache_manager is not None:
+                self.kv_cache_manager.cache_array = shard_kv_cache(
+                    self.kv_cache_manager.cache_array, self.mesh)
+            lm = getattr(self.worker, "language_model", None)
+            if lm is not None and hasattr(lm, "shard_to"):
+                lm.shard_to(self.mesh)
+                logger.info(f"{self.name} tensor-parallel over "
+                            f"{self.mesh.devices.size} devices")
 
     def update_migrate_graph(self, graph: MigrateGraph) -> None:
         self.context.migrate_graph = graph

@@ -193,7 +193,11 @@ class TokenCacheBlockManager:
 
     def scatter_blocks(self, block_ids: Sequence[int], blocks: jax.Array) -> None:
         idx = jnp.asarray(np.asarray(block_ids, dtype=np.int32))
-        blocks = jax.device_put(blocks, self.device).astype(self.dtype)
+        # land the payload with the cache's own placement (single device, or
+        # the node mesh's kv-head sharding — block payloads share the
+        # cache's axis order so the spec transfers directly)
+        sharding = self.cache_array.sharding
+        blocks = jax.device_put(blocks, sharding).astype(self.dtype)
         self.cache_array = _scatter_blocks_jit(self.cache_array, idx, blocks)
 
     # ---------------- sizing / metrics ----------------

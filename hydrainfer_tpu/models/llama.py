@@ -97,6 +97,15 @@ class LlamaForCausalLM(LanguageModel):
             _flat_fn, static_argnames=("dims",),
             donate_argnames=("cache", "token_table"))
 
+    def shard_to(self, mesh) -> None:
+        """Tensor-parallel placement: megatron-style NamedShardings on the
+        weight pytree (parallel/mesh.py); XLA SPMD inserts the collectives.
+        Call before the first forward."""
+        from ..parallel.mesh import shard_decoder_weights
+        self.weights = shard_decoder_weights(self.weights, mesh)
+        from ..parallel.mesh import replicate
+        self.cos_tab, self.sin_tab = replicate((self.cos_tab, self.sin_tab), mesh)
+
     def forward(self, cache: jax.Array, token_table: jax.Array,
                 batch: LanguageModelBatch, max_q: int) -> LanguageModelOutput:
         cache, token_table, tokens = self._step(

@@ -26,9 +26,10 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 def make_mesh(n_devices: Optional[int] = None,
               axis_names: Sequence[str] = ("dp", "tp"),
-              shape: Optional[Sequence[int]] = None) -> Mesh:
+              shape: Optional[Sequence[int]] = None,
+              devices: Optional[list] = None) -> Mesh:
     """Mesh over the first n_devices. Default: all devices on the 'tp' axis."""
-    devices = jax.devices()
+    devices = devices if devices is not None else jax.devices()
     n = n_devices or len(devices)
     if shape is None:
         shape = [1] * (len(axis_names) - 1) + [n]
