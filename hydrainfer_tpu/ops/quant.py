@@ -72,10 +72,31 @@ def dequantize(qt: QuantizedTensor, dtype=jnp.bfloat16) -> jax.Array:
     return (q.astype(jnp.float32) * qt.scale[None, :]).astype(dtype)
 
 
+import os
+
+# opt-in until perf-validated per shape: the custom Pallas fused
+# dequant-matmul streams int8 tiles HBM→VMEM and converts in-kernel
+_USE_PALLAS_QMM = os.environ.get("HYDRAINFER_PALLAS_QMM", "0") == "1"
+
+
+def _pick_block(dim: int) -> int:
+    for b in (512, 256, 128):
+        if dim % b == 0:
+            return b
+    return 0
+
+
 def qmatmul(x: jax.Array, w: Union[jax.Array, QuantizedTensor]) -> jax.Array:
-    """x @ W for plain or quantized weights (the dispatch point a Pallas
+    """x @ W for plain or quantized weights (the dispatch point the Pallas
     fused dequant-matmul kernel plugs into)."""
     if isinstance(w, QuantizedTensor):
+        if (_USE_PALLAS_QMM and w.bits == 8 and x.ndim == 2
+                and jax.default_backend() == "tpu"):
+            bk, bn = _pick_block(w.q.shape[0]), _pick_block(w.q.shape[1])
+            if bk and bn:
+                from .pallas.quant_matmul import quant_matmul_int8
+                return quant_matmul_int8(x, w.q, w.scale, block_k=bk,
+                                         block_n=bn, out_dtype=x.dtype)
         q = w.q if w.bits == 8 else _unpack_int4(w.q)
         # int8 rhs converts to the activation dtype inside the fused dot
         out = jnp.dot(x, q.astype(x.dtype),
