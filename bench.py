@@ -27,7 +27,8 @@ from hydrainfer_tpu.cluster.node import NodeConfig
 from hydrainfer_tpu.engine.request_processor import RequestProcessorConfig
 from hydrainfer_tpu.engine.scheduler import BatchSchedulerConfig
 from hydrainfer_tpu.entrypoint.offline import OfflineEngine
-from hydrainfer_tpu.models.factory import (ImageTokenCalculator,
+from hydrainfer_tpu.models.factory import (ImageProcessor,
+                                           ImageTokenCalculator,
                                            LanguageModelConfig, ModelFactory,
                                            VisionModelConfig)
 from hydrainfer_tpu.models.llama import LlamaForCausalLM
@@ -43,14 +44,37 @@ class _NoImages(ImageTokenCalculator):
         return 0
 
 
+class _FixedTokens(ImageTokenCalculator):
+    def __init__(self, n):
+        self.n = n
+
+    def get_num_image_tokens(self, image_size):
+        return self.n
+
+
+class _RawImageProcessor(ImageProcessor):
+    def __init__(self, size):
+        self.size = size
+
+    def process(self, image):
+        arr = np.asarray(image.convert("RGB").resize((self.size, self.size)),
+                         np.float32).transpose(2, 0, 1) / 255.0
+        return jnp.asarray(arr)
+
+
 class RandomWeightFactory(ModelFactory):
     def __init__(self, arch: str, dtype=jnp.bfloat16, quantization: str = "none",
-                 kv_scale=None):
+                 kv_scale=None, multimodal: bool = False):
         self.cfg = ARCH_CONFIGS[arch]
         self.dtype = dtype
         self.quantization = quantization
         self.kv_scale = kv_scale
+        self.multimodal = multimodal
+        # CLIP-L/14-336 tower at the real architecture, projected to LM hidden
+        from hydrainfer_tpu.models.random_init import CLIP_L_336
+        self.clip_cfg = CLIP_L_336 if multimodal else None
         self._lm = None
+        self._vm = None
 
     def getLanguageModel(self):
         if self._lm is None:
@@ -60,10 +84,21 @@ class RandomWeightFactory(ModelFactory):
         return self._lm
 
     def getVisionModel(self):
-        return None
+        if not self.multimodal:
+            return None
+        if self._vm is None:
+            from hydrainfer_tpu.models.llava import LlavaVisionModel
+            from hydrainfer_tpu.models.random_init import init_clip_weights
+            w = init_clip_weights(self.clip_cfg, jax.random.PRNGKey(1),
+                                  self.dtype, lm_hidden=self.cfg.hidden_size)
+            self._vm = LlavaVisionModel(w, self.clip_cfg)
+        return self._vm
 
     def getVisionModelConfig(self):
-        return VisionModelConfig("", -1, _NoImages())
+        if not self.multimodal:
+            return VisionModelConfig("", -1, _NoImages())
+        return VisionModelConfig("<image>", 9,
+                                 _FixedTokens(self.clip_cfg.n_patches))
 
     def getLanguageModelConfig(self):
         c = self.cfg
@@ -73,7 +108,8 @@ class RandomWeightFactory(ModelFactory):
             eos_token_id=2, hidden_size=c.hidden_size, vocab_size=c.vocab_size)
 
     def getProcessor(self):
-        return None
+        return (_RawImageProcessor(self.clip_cfg.image_size)
+                if self.multimodal else None)
 
     def getTokenizer(self):
         return SimpleTokenizer()
@@ -86,9 +122,10 @@ class RandomWeightFactory(ModelFactory):
 
 def run_bench(arch: str, n_requests: int, prompt_len: int, max_tokens: int,
               token_budget: int, quantization: str = "none",
-              kv_int8: bool = False):
+              kv_int8: bool = False, image_ratio: float = 0.0):
     factory = RandomWeightFactory(arch, quantization=quantization,
-                                  kv_scale=0.05 if kv_int8 else None)
+                                  kv_scale=0.05 if kv_int8 else None,
+                                  multimodal=image_ratio > 0)
     cfg = NodeConfig(
         batch_scheduler=BatchSchedulerConfig(
             max_running_requests=n_requests, priority="prefill"),
@@ -100,18 +137,29 @@ def run_bench(arch: str, n_requests: int, prompt_len: int, max_tokens: int,
     cfg.model.dtype = "bf16"
     if kv_int8:
         cfg.model.kv_cache_dtype = "int8"
-    engine = OfflineEngine(cfg, model_factory=factory, node_type="PD")
+    if image_ratio > 0:
+        cfg.n_image_blocks = max(8, n_requests)
+        cfg.image_block_size = factory.clip_cfg.n_patches
+    engine = OfflineEngine(cfg, model_factory=factory,
+                           node_type="EPD" if image_ratio > 0 else "PD")
     engine.node.batch_scheduler.token_budget = token_budget
 
     rng = np.random.default_rng(0)
+
+    from PIL import Image
 
     def make_requests(n, tag):
         reqs = []
         for i in range(n):
             prompt = "".join(rng.choice(list(string.ascii_lowercase + " "),
                                         size=prompt_len))
+            image = None
+            if image_ratio > 0 and (i % max(1, int(1 / image_ratio))) == 0:
+                image = Image.fromarray(rng.integers(
+                    0, 255, (336, 336, 3), dtype=np.uint8))
+                prompt = "<image> " + prompt
             reqs.append(Request(
-                request_id=f"{tag}{i}", prompt=prompt,
+                request_id=f"{tag}{i}", prompt=prompt, image=image,
                 sampling_params=SamplingParameters(max_tokens=max_tokens,
                                                    ignore_eos=True)))
         return reqs
@@ -146,6 +194,7 @@ def run_bench(arch: str, n_requests: int, prompt_len: int, max_tokens: int,
             "roofline_tokens_per_s": round(roofline, 1),
             "p50_ttft_s": round(ttfts[len(ttfts) // 2], 4),
             "p50_tbt_s": round(float(np.median(tbts)), 5) if tbts else None,
+            "image_ratio": image_ratio,
             "platform": jax.devices()[0].platform,
         },
     }
@@ -160,10 +209,11 @@ def main():
     ap.add_argument("--token-budget", type=int, default=2048)
     ap.add_argument("--quant", default="none", choices=["none", "int8", "int4"])
     ap.add_argument("--kv-int8", action="store_true")
+    ap.add_argument("--image-ratio", type=float, default=0.0)
     args = ap.parse_args()
     result = run_bench(args.arch, args.n_requests, args.prompt_len,
                        args.max_tokens, args.token_budget, args.quant,
-                       kv_int8=args.kv_int8)
+                       kv_int8=args.kv_int8, image_ratio=args.image_ratio)
     print(json.dumps(result))
 
 
