@@ -105,20 +105,47 @@ class LanguageModelBatchBuilder:
 
     def build(self) -> FillBatchPlan:
         n_seqs = len(self.seq_rcbs)
+        sampling = any(
+            (rcb.sampling_params is not None
+             and rcb.sampling_params.temperature > 0)
+            for rcb in self.seq_rcbs)
         dims = FillDims(
             T=bucket_of(self._n_tokens, TOKEN_BUCKETS),
             S=bucket_of(n_seqs, SEQ_BUCKETS),
             MB=_next_pow2(self._max_blocks),
             Ti=(bucket_of(len(self.image_slot_ids), TOKEN_BUCKETS)
                 if self.image_slot_ids else 0),
-            max_q=_next_pow2(self._max_q))
+            max_q=_next_pow2(self._max_q),
+            sampling=sampling)
         if hostops is not None and self._contiguous:
             flat = self._build_native(dims)
         else:
             flat = self._build_python(dims)
+        if sampling:
+            flat = np.concatenate([flat, self._sampling_tail(dims)])
         return FillBatchPlan(flat=flat, dims=dims, seq_rcbs=self.seq_rcbs,
                              seq_insts=self.seq_insts,
                              n_tokens=self._n_tokens, n_seqs=n_seqs)
+
+    _seed_counter = 0
+
+    def _sampling_tail(self, dims: FillDims) -> np.ndarray:
+        """Per-seq sampling controls, floats bitcast into the i32 buffer."""
+        S = dims.S
+        temps = np.zeros(S, np.float32)
+        top_ks = np.full(S, -1, np.int32)
+        top_ps = np.ones(S, np.float32)
+        for i, rcb in enumerate(self.seq_rcbs):
+            sp = rcb.sampling_params
+            if sp is None:
+                continue
+            temps[i] = sp.temperature
+            top_ks[i] = sp.top_k
+            top_ps[i] = sp.top_p
+        LanguageModelBatchBuilder._seed_counter += 1
+        seed = np.asarray([LanguageModelBatchBuilder._seed_counter], np.int32)
+        return np.concatenate([temps.view(np.int32), top_ks,
+                               top_ps.view(np.int32), seed])
 
     # ---------------- native packing ----------------
 

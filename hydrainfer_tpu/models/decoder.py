@@ -227,6 +227,17 @@ def decoder_forward(weights: dict, cache: jax.Array, batch: LanguageModelBatch,
     logits = qmatmul_f32(h, weights["lm_head"])
     tokens = jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
+    # stochastic sampling path (compiled in only when the batch carries
+    # sampling controls — dims.sampling is part of the jit key via shapes)
+    temps = getattr(batch, "temperatures", None)
+    if temps is not None and temps.shape[0] > 0:
+        from ..ops.sampling import process_logits
+        key = jax.random.key(batch.sample_seed[0])
+        sampled = process_logits(
+            logits, temperature=jnp.maximum(temps, 1e-6),
+            top_k=batch.top_ks, top_p=batch.top_ps, key=key)
+        tokens = jnp.where(temps > 0, sampled, tokens)
+
     dst = batch.sample_dst_slots
     dst = jnp.where(dst < 0, token_table.shape[0], dst)  # OOB positive drops
     token_table = token_table.at[dst].set(tokens, mode="drop")

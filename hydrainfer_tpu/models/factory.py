@@ -88,6 +88,12 @@ class LanguageModelBatch:
     sample_token_idx: jax.Array
     token_src_slots: jax.Array
     sample_dst_slots: jax.Array
+    # stochastic sampling controls (empty arrays when dims.sampling=False):
+    # temperature/top_p are float32 bitcast into the int32 flat buffer
+    temperatures: jax.Array = None
+    top_ks: jax.Array = None
+    top_ps: jax.Array = None
+    sample_seed: jax.Array = None
 
 
 @dataclass
@@ -105,6 +111,9 @@ class FillDims:
     MB: int         # padded blocks-per-seq
     Ti: int         # padded image-feature token count
     max_q: int      # padded longest q chunk
+    # True when any sequence samples stochastically (temperature > 0): the
+    # step then runs the full logits pipeline instead of bare argmax
+    sampling: bool = False
 
 
 def pack_fill_batch(token_ids, positions, q_seq_ids, q_local_ids,
@@ -150,8 +159,20 @@ def unpack_fill_batch(flat: jax.Array, image_cache: jax.Array,
     block_tables = take(S * MB).reshape(S, MB)
     cu_q_lens = take(S + 1)
     num_seqs = take(1)
+
     image_slot_ids = take(Ti)
     image_dst_idx = take(Ti)
+    # sampling tail (appended after the core buffer by the builder)
+    if dims.sampling:
+        temperatures = jax.lax.bitcast_convert_type(take(S), jnp.float32)
+        top_ks = take(S)
+        top_ps = jax.lax.bitcast_convert_type(take(S), jnp.float32)
+        sample_seed = take(1)
+    else:
+        temperatures = jnp.zeros((0,), jnp.float32)
+        top_ks = jnp.zeros((0,), jnp.int32)
+        top_ps = jnp.zeros((0,), jnp.float32)
+        sample_seed = jnp.zeros((1,), jnp.int32)
 
     if Ti > 0:
         flat_cache = image_cache[0, 0].reshape(
@@ -175,6 +196,10 @@ def unpack_fill_batch(flat: jax.Array, image_cache: jax.Array,
         sample_token_idx=sample_token_idx,
         token_src_slots=token_src_slots,
         sample_dst_slots=sample_dst_slots,
+        temperatures=temperatures,
+        top_ks=top_ks,
+        top_ps=top_ps,
+        sample_seed=sample_seed,
     )
 
 
