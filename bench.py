@@ -122,7 +122,8 @@ class RandomWeightFactory(ModelFactory):
 
 def run_bench(arch: str, n_requests: int, prompt_len: int, max_tokens: int,
               token_budget: int, quantization: str = "none",
-              kv_int8: bool = False, image_ratio: float = 0.0):
+              kv_int8: bool = False, image_ratio: float = 0.0,
+              kv_blocks: int = 0, kv_ref: bool = True):
     factory = RandomWeightFactory(arch, quantization=quantization,
                                   kv_scale=0.05 if kv_int8 else None,
                                   multimodal=image_ratio > 0)
@@ -131,9 +132,11 @@ def run_bench(arch: str, n_requests: int, prompt_len: int, max_tokens: int,
             max_running_requests=n_requests, priority="prefill"),
         request_processor=RequestProcessorConfig(num_request_process_workers=1),
         kv_block_size=16,
-        n_kv_blocks=max(256, 2 * n_requests * (prompt_len + max_tokens) // 16),
+        n_kv_blocks=kv_blocks or max(
+            256, 2 * n_requests * (prompt_len + max_tokens) // 16),
         n_image_blocks=1,
     )
+    cfg.kv_cache_ref = kv_ref
     cfg.model.dtype = "bf16"
     if kv_int8:
         cfg.model.kv_cache_dtype = "int8"
@@ -210,10 +213,15 @@ def main():
     ap.add_argument("--quant", default="none", choices=["none", "int8", "int4"])
     ap.add_argument("--kv-int8", action="store_true")
     ap.add_argument("--image-ratio", type=float, default=0.0)
+    ap.add_argument("--kv-blocks", type=int, default=0,
+                    help="force the KV pool size (0 = fit to the workload)")
+    ap.add_argument("--no-kv-ref", action="store_true",
+                    help="disable the jax.Ref in-place cache (A/B testing)")
     args = ap.parse_args()
     result = run_bench(args.arch, args.n_requests, args.prompt_len,
                        args.max_tokens, args.token_budget, args.quant,
-                       kv_int8=args.kv_int8, image_ratio=args.image_ratio)
+                       kv_int8=args.kv_int8, image_ratio=args.image_ratio,
+                       kv_blocks=args.kv_blocks, kv_ref=not args.no_kv_ref)
     print(json.dumps(result))
 
 

@@ -62,6 +62,9 @@ class NodeConfig:
     n_kv_blocks: int = -1             # -1 = size from free HBM
     n_image_blocks: int = -1
     hbm_utilization: float = 0.9
+    # jax.Ref in-place KV cache (single-device nodes); set False to fall back
+    # to the value/donation path
+    kv_cache_ref: bool = True
     log_latency_breakdown: bool = False
     tpot_slo: float = 0.4
     step_interval_s: float = 0.001
@@ -193,7 +196,10 @@ class AsyncEPDNode:
             n_blocks=max(self.config.n_kv_blocks, 1),
             block_size=self.config.kv_block_size,
             n_heads=2 * lc.n_kv_heads, head_dim=lc.head_dim,
-            dtype=kv_dtype)
+            dtype=kv_dtype,
+            # jax.Ref in-place cache: avoids scan-carry copies (~3ms/GB per
+            # step); sharded (TP) caches stay on the value/donation path
+            use_ref=self.config.kv_cache_ref and self.mesh is None)
         img_cfg = TokenCacheBlockManagerConfig(
             n_layers=1, n_tensors=1,
             n_blocks=max(self.config.n_image_blocks, 1),

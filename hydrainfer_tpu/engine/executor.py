@@ -151,11 +151,13 @@ class FillExecutor:
 
         image_cache = (self.image.cache_array if self.image is not None
                        else self._dummy_image_cache)
+        cache_in = self.kv.cache_ref if self.kv.use_ref else self.kv.cache_array
         out = self.worker.execute_language_model(
-            self.kv.cache_array, self.token_table, jnp.asarray(plan.flat),
+            cache_in, self.token_table, jnp.asarray(plan.flat),
             image_cache, plan.dims)
-        # cache + token table buffers were donated; adopt the new ones
-        self.kv.cache_array = out.cache
+        # ref mode updates in place (out.cache is None); value mode donated
+        if out.cache is not None and not isinstance(out.cache, jax.Ref):
+            self.kv.cache_array = out.cache
         self.token_table = out.token_table
         sampled_dev = out.sample_token_ids
         batch.step()

@@ -22,11 +22,14 @@ class BlockAllocatorMetrics:
 
 
 class BlockAllocator:
-    def __init__(self, n_blocks: int):
+    def __init__(self, n_blocks: int, reserved: int = 0):
+        """`reserved` leading blocks are never handed out (e.g. block 0 as
+        the padding-scratch target in ref-mode caches)."""
         self.n_blocks = n_blocks
+        self.reserved = reserved
         # LIFO free list: recently freed blocks are re-used first, which keeps
         # the hot working set of pages dense in HBM.
-        self._free: List[int] = list(range(n_blocks - 1, -1, -1))
+        self._free: List[int] = list(range(n_blocks - 1, reserved - 1, -1))
 
     @property
     def n_free(self) -> int:
@@ -43,7 +46,7 @@ class BlockAllocator:
 
     def free(self, block_ids: List[int]) -> None:
         for bid in block_ids:
-            assert 0 <= bid < self.n_blocks, f"bad block id {bid}"
+            assert self.reserved <= bid < self.n_blocks, f"bad block id {bid}"
             self._free.append(bid)
         assert len(self._free) <= self.n_blocks, "double free detected"
 

@@ -31,6 +31,23 @@ from .shared_cache import SharedCache, SharedCacheConfig
 
 logger = getLogger(__name__)
 
+
+def _new_ref_adopting(value: jax.Array):
+    """jax.new_ref without the defensive copy of the init value.
+
+    new_ref's impl copies init_val to preserve its value semantics; for a
+    multi-GB KV pool that transient 2x peak OOMs the chip. The manager owns
+    `value` exclusively and drops its handle right after, so adopting the
+    buffer is safe. Falls back to the public API if jax internals moved.
+    """
+    try:
+        from jax._src.core import ArrayRefImpl, Ref
+        from jax._src.state.types import AbstractRef
+        aval = AbstractRef(jax.typeof(value))
+        return Ref(aval, ArrayRefImpl(aval, value))
+    except Exception:  # pragma: no cover - depends on jax version
+        return jax.new_ref(value)
+
 _DTYPE_SIZE = {"bf16": 2, "bfloat16": 2, "fp16": 2, "float16": 2, "fp32": 4, "float32": 4, "int8": 1, "fp8": 1}
 
 
@@ -53,6 +70,9 @@ class TokenCacheBlockManagerConfig:
     n_heads: int = 32
     head_dim: int = 128
     dtype: str = "bf16"
+    # hold the cache as a jax.Ref for TRUE in-place updates inside the
+    # jitted step (no scan-carry / donation round-trips)
+    use_ref: bool = False
 
     @property
     def block_nbytes(self) -> int:
@@ -93,13 +113,38 @@ class TokenCacheBlockManager:
         shape = (config.n_layers, config.n_tensors, config.n_blocks,
                  config.block_size, config.n_heads, config.head_dim)
         self.device = device if device is not None else jax.devices()[0]
+        self.use_ref = config.use_ref
         with jax.default_device(self.device):
-            self.cache_array: jax.Array = jnp.zeros(shape, dtype=self.dtype)
+            value = jnp.zeros(shape, dtype=self.dtype)
+            if self.use_ref:
+                # new_ref materializes on the default device — pin it here
+                self.cache_ref = _new_ref_adopting(value)
+                self._cache_array = None
+                value = None
+            else:
+                self.cache_ref = None
+                self._cache_array = value
         self.block_allocator = BlockAllocator(config.n_blocks)
         self.shared_cache = SharedCache(SharedCacheConfig(n_blocks=config.n_blocks))
         self._vid_allocator = IncreasingAllocator(start=1)
         self._n_blocks_queried = 0
         self._n_blocks_matched = 0
+
+    @property
+    def cache_array(self) -> jax.Array:
+        """Value view of the cache (ref mode: materializes a snapshot —
+        use cache_ref / gather_blocks / scatter_blocks on hot paths)."""
+        if self.use_ref:
+            return self.cache_ref[...]
+        return self._cache_array
+
+    @cache_array.setter
+    def cache_array(self, value: jax.Array) -> None:
+        if self.use_ref:
+            with jax.default_device(self.device):
+                self.cache_ref = _new_ref_adopting(value)
+        else:
+            self._cache_array = value
 
     # ---------------- allocation / virtual caches ----------------
 
@@ -189,16 +234,22 @@ class TokenCacheBlockManager:
         for transfer (replaces per-block cudaMemcpy at
         reference csrc/data_transfer/block_migration.cpp:194-246)."""
         idx = jnp.asarray(np.asarray(block_ids, dtype=np.int32))
-        return jnp.moveaxis(jnp.take(self.cache_array, idx, axis=2), 2, 0)
+        if self.use_ref:
+            return jnp.moveaxis(self.cache_ref[:, :, idx], 2, 0)
+        return jnp.moveaxis(jnp.take(self._cache_array, idx, axis=2), 2, 0)
 
     def scatter_blocks(self, block_ids: Sequence[int], blocks: jax.Array) -> None:
         idx = jnp.asarray(np.asarray(block_ids, dtype=np.int32))
         # land the payload with the cache's own placement (single device, or
         # the node mesh's kv-head sharding — block payloads share the
         # cache's axis order so the spec transfers directly)
-        sharding = self.cache_array.sharding
+        if self.use_ref:
+            blocks = jax.device_put(blocks, self.device).astype(self.dtype)
+            _scatter_blocks_ref(self.cache_ref, idx, blocks)
+            return
+        sharding = self._cache_array.sharding
         blocks = jax.device_put(blocks, sharding).astype(self.dtype)
-        self.cache_array = _scatter_blocks_jit(self.cache_array, idx, blocks)
+        self._cache_array = _scatter_blocks_jit(self._cache_array, idx, blocks)
 
     # ---------------- sizing / metrics ----------------
 
@@ -216,3 +267,9 @@ class TokenCacheBlockManager:
 def _scatter_blocks_jit(cache: jax.Array, idx: jax.Array, blocks: jax.Array) -> jax.Array:
     # blocks: (n, layers, tensors, block_size, heads, dim) → axis-2 scatter
     return cache.at[:, :, idx].set(jnp.moveaxis(blocks, 0, 2))
+
+
+@jax.jit
+def _scatter_blocks_ref(cache_ref, idx: jax.Array, blocks: jax.Array):
+    cache_ref[:, :, idx] = jnp.moveaxis(blocks, 0, 2)
+    return 0

@@ -188,17 +188,31 @@ def decoder_forward(weights: dict, cache: jax.Array, batch: LanguageModelBatch,
     cos = jnp.take(cos_tab, batch.positions, axis=0)
     sin = jnp.take(sin_tab, batch.positions, axis=0)
 
-    def scan_step(carry, inp):
-        x, cache = carry
-        layer_id, lw = inp
-        x, cache = _layer_body(x, cache, layer_id, lw, batch, cos, sin, cfg, max_q)
-        return (x, cache), None
+    is_ref = isinstance(cache, jax.Ref)
+
+    if is_ref:
+        # the ref is closed over: layers write it in place, only the
+        # residual stream x rides the scan carry (whole-cache carry copies
+        # cost ~3ms/GB/step otherwise)
+        def scan_step(x, inp):
+            layer_id, lw = inp
+            x, _ = _layer_body(x, cache, layer_id, lw, batch, cos, sin, cfg, max_q)
+            return x, None
+    else:
+        def scan_step(carry, inp):
+            x, c = carry
+            layer_id, lw = inp
+            x, c = _layer_body(x, c, layer_id, lw, batch, cos, sin, cfg, max_q)
+            return (x, c), None
 
     for seg in weights["layers_segments"]:
         stack = {k: v for k, v in seg.items() if k != "offset"}
         n_seg = jax.tree_util.tree_leaves(stack)[0].shape[0]
         layer_ids = seg["offset"] + jnp.arange(n_seg, dtype=jnp.int32)
-        (x, cache), _ = jax.lax.scan(scan_step, (x, cache), (layer_ids, stack))
+        if is_ref:
+            x, _ = jax.lax.scan(scan_step, x, (layer_ids, stack))
+        else:
+            (x, cache), _ = jax.lax.scan(scan_step, (x, cache), (layer_ids, stack))
 
     # last layer: attention sees all T tokens (their KV must be appended),
     # then only the sampled rows continue through the MLP and head
@@ -241,6 +255,7 @@ def decoder_forward(weights: dict, cache: jax.Array, batch: LanguageModelBatch,
     dst = batch.sample_dst_slots
     dst = jnp.where(dst < 0, token_table.shape[0], dst)  # OOB positive drops
     token_table = token_table.at[dst].set(tokens, mode="drop")
+    cache_out = None if is_ref else cache
     if return_logits:
-        return cache, token_table, tokens, logits
-    return cache, token_table, tokens
+        return cache_out, token_table, tokens, logits
+    return cache_out, token_table, tokens

@@ -82,8 +82,9 @@ class FakeLanguageModel(LanguageModel):
         seed = int(np.asarray(flat[:dims.T]).sum()) % (2 ** 31)
         tokens = np.random.default_rng(seed).integers(
             10, self.cfg.vocab_size, size=(dims.S,), dtype=np.int32)
+        cache_out = None if isinstance(cache, jax.Ref) else cache
         return LanguageModelOutput(sample_token_ids=jnp.asarray(tokens),
-                                   cache=cache, token_table=token_table)
+                                   cache=cache_out, token_table=token_table)
 
 
 class FakeImageProcessor(ImageProcessor):

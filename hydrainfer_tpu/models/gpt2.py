@@ -59,6 +59,7 @@ def gpt2_forward(weights, cache, batch, n_heads: int, max_q: int,
     token_ids = jnp.where(src >= 0,
                           jnp.take(token_table, jnp.maximum(src, 0)),
                           batch.token_ids)
+    is_ref = isinstance(cache, jax.Ref)
     x = jnp.take(weights["wte"], token_ids, axis=0) \
         + jnp.take(weights["wpe"], batch.positions, axis=0)
     T, hidden = x.shape
@@ -92,9 +93,10 @@ def gpt2_forward(weights, cache, batch, n_heads: int, max_q: int,
     dst = batch.sample_dst_slots
     dst = jnp.where(dst < 0, token_table.shape[0], dst)
     token_table = token_table.at[dst].set(tokens, mode="drop")
+    cache_out = None if is_ref else cache
     if return_logits:
-        return cache, token_table, tokens, logits
-    return cache, token_table, tokens
+        return cache_out, token_table, tokens, logits
+    return cache_out, token_table, tokens
 
 
 class GPT2ForCausalLM(LanguageModel):
@@ -115,7 +117,9 @@ class GPT2ForCausalLM(LanguageModel):
                                 attention_impl, token_table=token_table)
 
         self._flat_step = jax.jit(_flat_fn, static_argnames=("dims",),
-                                  donate_argnames=("cache", "token_table"))
+                                  donate_argnames=("token_table",))
+        self._flat_step_value = jax.jit(_flat_fn, static_argnames=("dims",),
+                                        donate_argnames=("cache", "token_table"))
 
     def forward(self, cache, token_table, batch, max_q: int) -> LanguageModelOutput:
         cache, token_table, tokens = self._step(
@@ -123,7 +127,9 @@ class GPT2ForCausalLM(LanguageModel):
         return LanguageModelOutput(tokens, cache, token_table)
 
     def forward_flat(self, cache, token_table, flat, image_cache, dims):
-        cache, token_table, tokens = self._flat_step(
+        step = (self._flat_step if isinstance(cache, jax.Ref)
+                else self._flat_step_value)
+        cache, token_table, tokens = step(
             self.weights, cache, token_table, flat, image_cache, dims=dims)
         return LanguageModelOutput(tokens, cache, token_table)
 

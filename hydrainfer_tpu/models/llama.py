@@ -92,8 +92,12 @@ class LlamaForCausalLM(LanguageModel):
                                    cfg, dims.max_q, token_table=token_table)
 
         # engine hot path: the whole batch arrives as ONE flat int32 buffer
-        # (single H2D transfer) and is unpacked on device
+        # (single H2D transfer) and is unpacked on device. The cache arrives
+        # as a jax.Ref (in-place) OR a value (donated) — separate jits.
         self._flat_step = jax.jit(
+            _flat_fn, static_argnames=("dims",),
+            donate_argnames=("token_table",))
+        self._flat_step_value = jax.jit(
             _flat_fn, static_argnames=("dims",),
             donate_argnames=("cache", "token_table"))
 
@@ -114,10 +118,12 @@ class LlamaForCausalLM(LanguageModel):
         return LanguageModelOutput(sample_token_ids=tokens, cache=cache,
                                    token_table=token_table)
 
-    def forward_flat(self, cache: jax.Array, token_table: jax.Array,
+    def forward_flat(self, cache, token_table: jax.Array,
                      flat: jax.Array, image_cache: jax.Array,
                      dims) -> LanguageModelOutput:
-        cache, token_table, tokens = self._flat_step(
+        step = (self._flat_step if isinstance(cache, jax.Ref)
+                else self._flat_step_value)
+        cache, token_table, tokens = step(
             self.weights, cache, token_table, flat, image_cache,
             self.cos_tab, self.sin_tab, dims=dims)
         return LanguageModelOutput(sample_token_ids=tokens, cache=cache,

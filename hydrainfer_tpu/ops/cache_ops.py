@@ -13,22 +13,34 @@ import jax
 import jax.numpy as jnp
 
 
-def write_token_cache(cache: jax.Array, layer_id: int, slot_ids: jax.Array,
-                      values: tuple, block_size: int) -> jax.Array:
+def write_token_cache(cache, layer_id: int, slot_ids: jax.Array,
+                      values: tuple, block_size: int):
     """Scatter per-token rows into the paged cache for one layer.
 
     cache:    (n_layers, n_tensors, n_blocks, block_size, n_heads, head_dim)
+              — either a jax.Array (functional update, donated buffers) or a
+              jax.Ref (TRUE in-place update; avoids the whole-cache copies
+              XLA's scan-carry handling costs ~3ms/GB/step)
     slot_ids: (n_tokens,) int32 physical slots (= block_id*block_size+offset);
-              negative → dropped (padding)
+              negative → padding (dropped / routed to the scratch block)
     values:   n_tensors arrays of (n_tokens, n_heads, head_dim)
     """
     n_blocks = cache.shape[2]
-    blk = slot_ids // block_size
-    off = slot_ids % block_size
     # Padding slots (<0) must map to a positive out-of-bounds index: with
     # mode='drop' negative indices still WRAP numpy-style, but indices >= n
     # are dropped.
-    blk = jnp.where(slot_ids < 0, n_blocks, blk)
+    blk = jnp.where(slot_ids < 0, n_blocks, slot_ids // block_size)
+    off = jnp.where(slot_ids < 0, 0, slot_ids % block_size)
+    if isinstance(cache, jax.Ref):
+        # Full-ref functional update: XLA recognizes the read→scatter→write
+        # as an in-place scatter on the ref's buffer (0 temp bytes). A bare
+        # ref scatter (`cache[l, i, blk, off] = v`) instead makes layout
+        # assignment pick a transposed cache layout at multi-GB sizes and
+        # materialize a whole-cache copy per step.
+        for i, v in enumerate(values):
+            cache[...] = cache[...].at[layer_id, i, blk, off].set(
+                v.astype(cache.dtype), mode="drop")
+        return cache
     for i, v in enumerate(values):
         cache = cache.at[layer_id, i, blk, off].set(
             v.astype(cache.dtype), mode="drop")

@@ -24,5 +24,7 @@ def test_kv_exhaustion_backpressure():
             for i in range(6)]
     outs = engine.generate(reqs, timeout_s=60)
     assert all(len(o.output_token_ids) == 10 for o in outs)
-    # pool drained back after completion
-    assert engine.node.kv_cache_manager.n_available_blocks() == 24
+    # pool drained back after completion (ref-mode caches reserve block 0
+    # as the padding scratch target, so it never enters the pool)
+    kv = engine.node.kv_cache_manager
+    assert kv.n_available_blocks() == 24 - kv.block_allocator.reserved
