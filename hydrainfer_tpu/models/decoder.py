@@ -103,6 +103,10 @@ def pack_decoder_weights(weights: dict) -> dict:
     return packed
 
 
+import os as _os
+_BISECT = _os.environ.get("HYDRA_BISECT", "")
+
+
 def _layer_body(x, cache, layer_id, lw, batch: LanguageModelBatch,
                 cos, sin, cfg: DecoderConfig, max_q: int):
     """One decoder layer: attention block + MLP block."""
@@ -118,10 +122,14 @@ def _layer_body(x, cache, layer_id, lw, batch: LanguageModelBatch,
     k = apply_rotary_emb(k.reshape(T, Hkv, D), cos, sin, cfg.rope_interleaved)
     v = v.reshape(T, Hkv, D)
 
-    cache = _write_kv(cache, layer_id, batch, k, v, cfg)
-    attn = paged_attention(q, cache, layer_id, batch.attention,
-                           1.0 / (D ** 0.5), max_q, impl=cfg.attention_impl,
-                           kv_scale=cfg.kv_scale)
+    if "no-write" not in _BISECT:
+        cache = _write_kv(cache, layer_id, batch, k, v, cfg)
+    if "no-attn" in _BISECT:
+        attn = q
+    else:
+        attn = paged_attention(q, cache, layer_id, batch.attention,
+                               1.0 / (D ** 0.5), max_q, impl=cfg.attention_impl,
+                               kv_scale=cfg.kv_scale)
     x = x + qmatmul(attn.reshape(T, Hq * D), lw["o_proj"])
 
     h = rms_norm(x, lw["post_norm"], cfg.rms_norm_eps)
