@@ -87,9 +87,15 @@ class Cluster(RequestObserver):
 
         self.nodes: List[AsyncEPDNode] = []
         dev_idx = 0
+        # names must be GLOBALLY unique: migrate-graph tables and the
+        # self-migration check key on name, and two NodeSpecs with the same
+        # node_type would otherwise collide (each spec restarts r at 0)
+        name_counts: dict = {}
         for spec in specs:
             for r in range(spec.n_replicas):
-                name = f"{spec.node_type.lower()}{r}"
+                idx = name_counts.get(spec.node_type, 0)
+                name_counts[spec.node_type] = idx + 1
+                name = f"{spec.node_type.lower()}{idx}"
                 group = [devices[(dev_idx * tp + i) % len(devices)]
                          for i in range(tp)]
                 device = group if tp > 1 else group[0]

@@ -468,6 +468,14 @@ class AsyncEPDNode:
 
             src_node: AsyncEPDNode = inst.src_node
             old = copy.copy(rcb)
+            # The token-table slot belongs to the SOURCE node's executor;
+            # keeping it would make the destination's acquire_slot no-op and
+            # later inject a foreign slot id into its free list (two requests
+            # could then share one slot). Reset so the destination allocates
+            # its own; the source slot is freed via free_migrate_request(old),
+            # and the first post-migration decode token is host-resolved by
+            # flush_fills so no device-side feedback is lost.
+            rcb.token_slot = -1
             nt = self.context.node_type
             if rcb.virtual_kv_cache is not None and nt.has_kv_cache:
                 rcb.virtual_kv_cache = self._pull_virtual_cache(

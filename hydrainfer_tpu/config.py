@@ -24,7 +24,18 @@ def _coerce(value: str, target_type):
         return str(value).lower() in ("1", "true", "yes", "on")
     if target_type in (int, float, str):
         return target_type(value)
-    return yaml.safe_load(value)
+    parsed = yaml.safe_load(value)
+    # `cluster.nodes=[{node_type: P}, ...]`-style overrides: materialize
+    # dataclass elements / nested dataclasses from the parsed YAML value.
+    origin = typing.get_origin(target_type)
+    if origin in (list, List) and isinstance(parsed, list):
+        (elem_type,) = typing.get_args(target_type) or (Any,)
+        if dataclasses.is_dataclass(elem_type):
+            return [build_dataclass(elem_type, v) if isinstance(v, dict) else v
+                    for v in parsed]
+    if dataclasses.is_dataclass(target_type) and isinstance(parsed, dict):
+        return build_dataclass(target_type, parsed)
+    return parsed
 
 
 def build_dataclass(cls, data: dict):

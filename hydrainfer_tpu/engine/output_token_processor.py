@@ -53,14 +53,18 @@ class LogOutputTokenProcessor(OutputTokenProcessor):
 
 class CallbackOutputTokenProcessor(OutputTokenProcessor):
     """Single-controller streaming: deliver (token_id, text, is_last) straight
-    to the API layer (no ZMQ hop needed when server and node share a process)."""
+    to the API layer (no ZMQ hop needed when server and node share a process).
+
+    Text comes from a per-request incremental detokenizer so byte-level-BPE
+    multi-byte characters stream intact instead of as replacement chars."""
 
     def __init__(self, callback: Callable[[int, str, bool], None], tokenizer):
+        from ..models.tokenizer import IncrementalDecoder
         self.callback = callback
-        self.tokenizer = tokenizer
+        self.decoder = IncrementalDecoder(tokenizer)
 
     def append_token_id(self, token_id, is_last_token=False):
-        self.callback(token_id, self.tokenizer.decode(token_id), is_last_token)
+        self.callback(token_id, self.decoder.push(token_id), is_last_token)
 
 
 class ZmqOutputTokenProcessor(OutputTokenProcessor):
@@ -68,12 +72,13 @@ class ZmqOutputTokenProcessor(OutputTokenProcessor):
     terminator (reference: executor.py:181-190)."""
 
     def __init__(self, request_id, zmq_send, tokenizer):
+        from ..models.tokenizer import IncrementalDecoder
         self.request_id = request_id
         self.zmq_send = zmq_send
-        self.tokenizer = tokenizer
+        self.decoder = IncrementalDecoder(tokenizer)
 
     def append_token_id(self, token_id, is_last_token=False):
-        self.zmq_send.send_pyobj((self.request_id, self.tokenizer.decode(token_id)))
+        self.zmq_send.send_pyobj((self.request_id, self.decoder.push(token_id)))
         if is_last_token:
             self.zmq_send.send_pyobj((self.request_id, None))
 
@@ -98,7 +103,7 @@ class OfflineOutputTokenProcessor(OutputTokenProcessor):
             self.output.tpot = now - self.output.token_times[-2]
         if is_last_token:
             self.output.finished_time = now
-            self.output.text = "".join(
-                self.tokenizer.decode(t) for t in self.output.output_token_ids)
+            self.output.text = self.tokenizer.decode_ids(
+                self.output.output_token_ids)
             if self.on_finish is not None:
                 self.on_finish(self.output)

@@ -87,6 +87,16 @@ class RequestProcessor:
                 obs.update(rcb)
         except Exception:
             logger.exception(f"request {request.request_id} processing failed")
+            # Terminate the client's stream (mirrors the scheduler's reject
+            # path): a malformed request — bad base64, more <image> tokens
+            # than images — must not leave API/offline callers waiting on a
+            # stream that will never end.
+            for proc in params.output_token_processors:
+                try:
+                    proc.append_token_id(-1, True)
+                except Exception:
+                    logger.exception(
+                        f"request {request.request_id} stream-terminate failed")
 
     # ---------------- the pipeline ----------------
 

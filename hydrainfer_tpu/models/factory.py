@@ -222,6 +222,12 @@ class Tokenizer:
     def decode(self, token_id: int) -> str:
         raise NotImplementedError
 
+    def decode_ids(self, token_ids: List[int]) -> str:
+        """Decode a sequence of ids to text. Default: join single-token
+        decodes (exact for codepoint tokenizers; HF adapters override with
+        a real full decode for byte-level BPE correctness)."""
+        return "".join(self.decode(t) for t in token_ids)
+
     def apply_chat_template(self, messages: List[dict]) -> str:
         raise NotImplementedError
 

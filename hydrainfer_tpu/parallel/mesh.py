@@ -62,6 +62,19 @@ def shard_decoder_weights(weights: dict, mesh: Mesh) -> dict:
     def put(x, spec):
         if x is None:
             return None
+        from ..ops.quant import QuantizedTensor
+        if isinstance(x, QuantizedTensor):
+            # .q shards with the weight rule; the per-output-channel .scale
+            # is rank-(n-1): it follows the OUTPUT axis of the spec (drop the
+            # input axis, the spec's second-to-last entry). qkv P(None,'tp')
+            # → scale P('tp'); o_proj P('tp',None) → scale P(None); stacked
+            # variants keep their leading replicated layer axis.
+            t = tuple(spec)
+            scale_spec = P(*(t[:-2] + t[-1:]))
+            return QuantizedTensor(
+                q=jax.device_put(x.q, NamedSharding(mesh, spec)),
+                scale=jax.device_put(x.scale, NamedSharding(mesh, scale_spec)),
+                bits=x.bits)
         return jax.device_put(x, NamedSharding(mesh, spec))
 
     def stacked_spec(spec):

@@ -131,3 +131,23 @@ def test_migrated_kv_blocks_content():
     dst_vc = d._pull_virtual_cache(p, vc, is_kv=True)
     got = np.asarray(d.kv_cache_manager.gather_blocks(dst_vc.block_table))
     np.testing.assert_allclose(got, data, rtol=1e-6)
+
+
+def test_migration_does_not_leak_token_slots():
+    """Regression: a migrated RCB must not carry the source node's token-table
+    slot — the destination would skip allocation and, on completion, inject a
+    foreign slot id into its own free list (duplicates → two requests sharing
+    one slot, crossing sampled tokens)."""
+    p = make_node("p4", "P")
+    d = make_node("d4", "D")
+    wire([p, d])
+    reqs = [Request(request_id=f"s{i}", prompt=f"slot check {i}",
+                    sampling_params=SamplingParameters(max_tokens=5, ignore_eos=True))
+            for i in range(6)]
+    asyncio.run(run_to_completion([p, d], p, reqs))
+    for node in (p, d):
+        free = node.executor.fill_executor._free_slots
+        table = int(node.executor.fill_executor.token_table.shape[0])
+        assert len(free) == len(set(free)), f"{node.name}: duplicate slots"
+        assert len(free) <= table, f"{node.name}: free list grew past table"
+        assert all(0 <= s < table for s in free), f"{node.name}: foreign slot id"

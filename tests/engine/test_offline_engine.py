@@ -1,4 +1,5 @@
 """End-to-end engine tests with the fake model factory (no weights)."""
+import asyncio
 import numpy as np
 import pytest
 from PIL import Image
@@ -89,3 +90,45 @@ def test_prefix_cache_reuse_across_generate_calls():
                                   sampling_params=SamplingParameters(max_tokens=3, ignore_eos=True))])[0]
     hit1 = engine.node.kv_cache_manager.metrics().prefix_cache_hit_rate
     assert hit1 > hit0
+
+
+def test_malformed_request_terminates_stream():
+    """Regression: a request that fails in build_rcb (more <image> tokens than
+    images) must still terminate its output stream instead of hanging callers."""
+    import time as _time
+    from hydrainfer_tpu.cluster.migrate import NodeType
+    from hydrainfer_tpu.cluster.node import AsyncEPDNode, NodeConfig, NodeContext
+    from hydrainfer_tpu.engine.output_token_processor import (
+        OfflineOutputTokenProcessor, OutputTokenParams)
+    from hydrainfer_tpu.engine.request_processor import (
+        RequestProcessParameters, RequestProcessorConfig)
+    from hydrainfer_tpu.engine.scheduler import BatchSchedulerConfig
+    from hydrainfer_tpu.models.fake import FakeConfig, FakeModelFactory
+    from hydrainfer_tpu.request import (OfflineInferenceOutput, Request,
+                                        SamplingParameters)
+
+    cfg = NodeConfig(
+        batch_scheduler=BatchSchedulerConfig(max_running_requests=4),
+        request_processor=RequestProcessorConfig(
+            num_request_process_workers=1, block_size=4),
+        kv_block_size=4, n_kv_blocks=64, n_image_blocks=8)
+    cfg.model.dtype = "float32"
+    node = AsyncEPDNode(cfg, NodeContext(name="epd_bad", node_type=NodeType("EPD")))
+    node.init(FakeModelFactory(fake_config=FakeConfig()))
+
+    out = OfflineInferenceOutput(arrival_time=_time.perf_counter())
+    finished = []
+    proc = OfflineOutputTokenProcessor(
+        out, node.model_factory.getTokenizer(), on_finish=lambda o: finished.append(o))
+    req = Request(request_id="bad", prompt="<image> but no image attached",
+                  sampling_params=SamplingParameters(max_tokens=4))
+
+    async def drive():
+        await node.add_request(req, RequestProcessParameters(
+            output_token_processors=[proc],
+            output_token_params=OutputTokenParams(stream_output=False)))
+        for _ in range(20):
+            await node.step()
+
+    asyncio.run(drive())
+    assert finished, "stream never terminated for the malformed request"

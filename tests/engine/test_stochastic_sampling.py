@@ -77,3 +77,27 @@ def test_mixed_batch_greedy_and_sampled(engine):
     outs = engine.generate(reqs, timeout_s=120)
     greedy_ref = gen(engine, temperature=0.0, n=8, prompt="mixed")
     assert outs[0].output_token_ids == greedy_ref  # greedy row unaffected
+
+
+def test_incremental_decoder_multibyte():
+    """Multi-byte UTF-8 characters split across BPE tokens stream intact."""
+    from hydrainfer_tpu.models.tokenizer import IncrementalDecoder
+
+    class ByteTok:
+        """One token per BYTE — the worst case for per-token decode."""
+        def decode_ids(self, ids):
+            return bytes(i for i in ids if i >= 0).decode("utf-8", errors="replace")
+
+    text = "héllo 世界 🚀"
+    data = text.encode("utf-8")
+    dec = IncrementalDecoder(ByteTok())
+    streamed = "".join(dec.push(b) for b in data)
+    assert streamed == text
+    assert "�" not in streamed
+
+
+def test_incremental_decoder_ignores_negative_sentinel():
+    from hydrainfer_tpu.models.tokenizer import IncrementalDecoder, SimpleTokenizer
+    dec = IncrementalDecoder(SimpleTokenizer())
+    assert dec.push(-1) == ""
+    assert dec.push(ord("a") + SimpleTokenizer.OFFSET) == "a"

@@ -61,3 +61,16 @@ def test_topology_presets():
     assert [s.node_type for s in resolve_cluster_topology("general", 8)] == ["E", "P", "D"]
     specs = resolve_cluster_topology("auto", 8)
     assert sum(s.n_replicas for s in specs) == 8
+
+
+def test_list_of_dataclass_override():
+    """`cluster.nodes=[{node_type: P}, ...]` CLI overrides must materialize
+    NodeSpec dataclasses, not raw dicts (the Cluster ctor reads .n_replicas)."""
+    from hydrainfer_tpu.cluster.cluster import ClusterConfig, NodeSpec
+    from hydrainfer_tpu.entrypoint.entrypoint import EntryPointConfig
+
+    cfg = load_config(EntryPointConfig, None, [
+        "cluster.nodes=[{node_type: P, n_replicas: 2}, {node_type: D}]"])
+    assert all(isinstance(s, NodeSpec) for s in cfg.cluster.nodes)
+    assert cfg.cluster.nodes[0].node_type == "P"
+    assert cfg.cluster.nodes[0].n_replicas == 2
