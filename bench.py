@@ -123,7 +123,8 @@ class RandomWeightFactory(ModelFactory):
 def run_bench(arch: str, n_requests: int, prompt_len: int, max_tokens: int,
               token_budget: int, quantization: str = "none",
               kv_int8: bool = False, image_ratio: float = 0.0,
-              kv_blocks: int = 0, kv_ref: bool = True):
+              kv_blocks: int = 0, kv_ref: bool = True,
+              attn_impl: str = "auto"):
     factory = RandomWeightFactory(arch, quantization=quantization,
                                   kv_scale=0.05 if kv_int8 else None,
                                   multimodal=image_ratio > 0)
@@ -138,6 +139,7 @@ def run_bench(arch: str, n_requests: int, prompt_len: int, max_tokens: int,
     )
     cfg.kv_cache_ref = kv_ref
     cfg.model.dtype = "bf16"
+    cfg.model.attention_impl = attn_impl
     if kv_int8:
         cfg.model.kv_cache_dtype = "int8"
     if image_ratio > 0:
@@ -217,11 +219,16 @@ def main():
                     help="force the KV pool size (0 = fit to the workload)")
     ap.add_argument("--no-kv-ref", action="store_true",
                     help="disable the jax.Ref in-place cache (A/B testing)")
+    ap.add_argument("--attn-impl", default="auto",
+                    choices=["auto", "ragged", "layered", "jnp"],
+                    help="paged-attention handler (layered = builder kernel "
+                         "over the full multi-layer cache)")
     args = ap.parse_args()
     result = run_bench(args.arch, args.n_requests, args.prompt_len,
                        args.max_tokens, args.token_budget, args.quant,
                        kv_int8=args.kv_int8, image_ratio=args.image_ratio,
-                       kv_blocks=args.kv_blocks, kv_ref=not args.no_kv_ref)
+                       kv_blocks=args.kv_blocks, kv_ref=not args.no_kv_ref,
+                       attn_impl=args.attn_impl)
     print(json.dumps(result))
 
 

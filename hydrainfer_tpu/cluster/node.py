@@ -198,8 +198,11 @@ class AsyncEPDNode:
             n_heads=2 * lc.n_kv_heads, head_dim=lc.head_dim,
             dtype=kv_dtype,
             # jax.Ref in-place cache: avoids scan-carry copies (~3ms/GB per
-            # step); sharded (TP) caches stay on the value/donation path
-            use_ref=self.config.kv_cache_ref and self.mesh is None)
+            # step); sharded (TP) caches stay on the value/donation path, and
+            # the layered kernel reads the cache VALUE (pallas can't take a
+            # Ref operand on this jax), so it forces the value path too
+            use_ref=(self.config.kv_cache_ref and self.mesh is None
+                     and self.config.model.attention_impl != "layered"))
         img_cfg = TokenCacheBlockManagerConfig(
             n_layers=1, n_tensors=1,
             n_blocks=max(self.config.n_image_blocks, 1),

@@ -155,20 +155,61 @@ def paged_attention_ragged(q: jax.Array, cache: jax.Array, layer_id,
     )
 
 
+def paged_attention_layered(q: jax.Array, cache: jax.Array, layer_id,
+                            params: PagedAttentionParams, sm_scale: float,
+                            k_scale: Optional[float] = None,
+                            v_scale: Optional[float] = None,
+                            interpret: bool = False) -> jax.Array:
+    """Builder-owned Pallas kernel over the FULL multi-layer cache with a
+    runtime layer scalar — no per-layer slice materialization (the per-step
+    pool-size cost of the 'ragged' path, PERF_NOTES.md). Requires a value
+    cache (not jax.Ref): the kernel reads pages straight from HBM."""
+    from .pallas.paged_attention import layered_paged_attention
+    if isinstance(cache, jax.Ref):
+        raise TypeError(
+            "layered attention reads the cache value directly; configure the "
+            "node with kv_cache_ref=False (a Ref snapshot read would copy "
+            "the whole pool per step)")
+    return layered_paged_attention(
+        q, cache, jnp.asarray(layer_id, jnp.int32).reshape(1),
+        params.kv_lens,
+        jnp.maximum(params.block_tables, 0),
+        params.cu_q_lens,
+        params.num_seqs,
+        sm_scale=sm_scale,
+        k_scale=k_scale, v_scale=v_scale,
+        interpret=interpret)
+
+
+_FALLBACK_LOGGED = False
+
+
 def paged_attention(q: jax.Array, cache: jax.Array, layer_id,
                     params: PagedAttentionParams, sm_scale: float,
                     max_q: int, impl: str = "auto",
                     kv_scale: Optional[float] = None) -> jax.Array:
     """Handler-chain entry point. See module docstring for impl choices."""
+    if impl == "layered":
+        return paged_attention_layered(
+            q, cache, layer_id, params, sm_scale,
+            k_scale=kv_scale, v_scale=kv_scale,
+            interpret=jax.default_backend() != "tpu")
     if impl in ("auto", "ragged", "pallas"):
         try:
             if impl == "auto" and jax.default_backend() != "tpu":
                 raise ImportError("ragged kernel is TPU-only; fall back")
             return paged_attention_ragged(q, cache, layer_id, params, sm_scale,
                                           k_scale=kv_scale, v_scale=kv_scale)
-        except Exception:
+        except Exception as e:
             if impl in ("ragged", "pallas"):
                 raise
+            global _FALLBACK_LOGGED
+            if not _FALLBACK_LOGGED:
+                _FALLBACK_LOGGED = True
+                import logging
+                logging.getLogger(__name__).warning(
+                    "paged attention kernel unavailable, using dense jnp "
+                    "fallback (first occurrence only): %s", e)
     return paged_attention_jnp(q, cache, layer_id, params, sm_scale, max_q,
                                kv_scale=kv_scale)
 

@@ -163,6 +163,10 @@ def _paged_attention_kernel(
     def _prefetch_first():
         copies_for(init_seq, 0, init_buf).start()
 
+    # rows of this q block not covered by any sequence (batch tail padding)
+    # must still produce finite output — zero the fresh accumulator
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+
     def masked_store(ref, val, start, end, group=1):
         iota = lax.broadcasted_iota(jnp.int32, ref.shape, 0) // group
         pltpu.store(ref, val, mask=(iota >= start) & (iota < end))
@@ -354,4 +358,4 @@ def layered_paged_attention(
         layer_id.astype(jnp.int32).reshape(1),
         kv_lens, page_indices, cu_q_lens,
         jnp.zeros((2,), jnp.int32), num_seqs,
-        q)
+        q, cache)
