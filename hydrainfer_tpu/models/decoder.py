@@ -126,6 +126,14 @@ def _layer_body(x, cache, layer_id, lw, batch: LanguageModelBatch,
         cache = _write_kv(cache, layer_id, batch, k, v, cfg)
     if "no-attn" in _BISECT:
         attn = q
+    elif cfg.attention_impl == "layered" and not isinstance(cache, jax.Ref):
+        # in-place chain: aliased writer → aliased attention passthrough.
+        # The cache buffer is pinned end-to-end; the scan carry never copies.
+        from ..ops.attention import paged_attention_layered
+        attn, cache = paged_attention_layered(
+            q, cache, layer_id, batch.attention, 1.0 / (D ** 0.5),
+            k_scale=cfg.kv_scale, v_scale=cfg.kv_scale,
+            interpret=jax.default_backend() != "tpu", return_cache=True)
     else:
         attn = paged_attention(q, cache, layer_id, batch.attention,
                                1.0 / (D ** 0.5), max_q, impl=cfg.attention_impl,
@@ -142,6 +150,17 @@ def _write_kv(cache, layer_id, batch, k, v, cfg: DecoderConfig):
                      -127, 127).astype(jnp.int8)
         v = jnp.clip(jnp.round(v.astype(jnp.float32) / cfg.kv_scale),
                      -127, 127).astype(jnp.int8)
+    if cfg.attention_impl == "layered" and not isinstance(cache, jax.Ref):
+        # pallas DMA writer with the cache aliased in/out: in-place on the
+        # value path (the XLA scatter ping-pongs the scan carry instead)
+        from ..ops.pallas.kv_writer import write_kv_pages
+        kv = jnp.concatenate([k[:, :, None], v[:, :, None]], axis=2)
+        kv = kv.reshape(k.shape[0], 2 * k.shape[1], k.shape[2])
+        return write_kv_pages(cache, kv, layer_id,
+                              batch.attention.new_kv_slot_ids,
+                              batch.attention.q_seq_ids,
+                              block_size=cache.shape[3],
+                              interpret=jax.default_backend() != "tpu")
     return write_kv_cache(cache, layer_id, batch.attention.new_kv_slot_ids,
                           k, v, cache.shape[3])
 
@@ -237,9 +256,16 @@ def decoder_forward(weights: dict, cache: jax.Array, batch: LanguageModelBatch,
     k = apply_rotary_emb(k.reshape(T, Hkv, D), cos, sin, cfg.rope_interleaved)
     cache = _write_kv(cache, cfg.n_layers - 1, batch, k,
                       v.reshape(T, Hkv, D), cfg)
-    attn = paged_attention(q, cache, cfg.n_layers - 1, batch.attention,
-                           1.0 / (D ** 0.5), max_q, impl=cfg.attention_impl,
-                           kv_scale=cfg.kv_scale)
+    if cfg.attention_impl == "layered" and not isinstance(cache, jax.Ref):
+        from ..ops.attention import paged_attention_layered
+        attn, cache = paged_attention_layered(
+            q, cache, cfg.n_layers - 1, batch.attention, 1.0 / (D ** 0.5),
+            k_scale=cfg.kv_scale, v_scale=cfg.kv_scale,
+            interpret=jax.default_backend() != "tpu", return_cache=True)
+    else:
+        attn = paged_attention(q, cache, cfg.n_layers - 1, batch.attention,
+                               1.0 / (D ** 0.5), max_q, impl=cfg.attention_impl,
+                               kv_scale=cfg.kv_scale)
     x = x + qmatmul(attn.reshape(T, Hq * D), lw["o_proj"])
     x = jnp.take(x, sample_idx, axis=0)                  # token discard
     h = rms_norm(x, lw["post_norm"], cfg.rms_norm_eps)

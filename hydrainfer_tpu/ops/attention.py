@@ -159,11 +159,14 @@ def paged_attention_layered(q: jax.Array, cache: jax.Array, layer_id,
                             params: PagedAttentionParams, sm_scale: float,
                             k_scale: Optional[float] = None,
                             v_scale: Optional[float] = None,
-                            interpret: bool = False) -> jax.Array:
+                            interpret: bool = False,
+                            return_cache: bool = False):
     """Builder-owned Pallas kernel over the FULL multi-layer cache with a
     runtime layer scalar — no per-layer slice materialization (the per-step
     pool-size cost of the 'ragged' path, PERF_NOTES.md). Requires a value
-    cache (not jax.Ref): the kernel reads pages straight from HBM."""
+    cache (not jax.Ref): the kernel reads pages straight from HBM. With
+    return_cache=True the cache is passed through ALIASED so a scan carry
+    stays pinned in place."""
     from .pallas.paged_attention import layered_paged_attention
     if isinstance(cache, jax.Ref):
         raise TypeError(
@@ -178,7 +181,8 @@ def paged_attention_layered(q: jax.Array, cache: jax.Array, layer_id,
         params.num_seqs,
         sm_scale=sm_scale,
         k_scale=k_scale, v_scale=v_scale,
-        interpret=interpret)
+        interpret=interpret,
+        return_cache=return_cache)
 
 
 _FALLBACK_LOGGED = False

@@ -284,11 +284,20 @@ def _default_block_sizes(page_size, pages_per_seq, n_tokens):
     return pp, nq
 
 
+def _kernel_dropping_cache_out(*args, **kwargs):
+    """Adapter when the cache is passed through as an aliased output: drop
+    the (never-written) cache_out ref at position 9 (6 scalars + q + cache +
+    o) before calling the real kernel body."""
+    args = list(args)
+    del args[9]
+    return _paged_attention_kernel(*args, **kwargs)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=["sm_scale", "k_scale", "v_scale",
                      "num_kv_pages_per_block", "num_queries_per_block",
-                     "vmem_limit_bytes", "interpret"])
+                     "vmem_limit_bytes", "interpret", "return_cache"])
 def layered_paged_attention(
     q: jax.Array,             # (T, Hq, D)
     cache: jax.Array,         # (L, 1, NB, BS, CKV, D), K even / V odd heads
@@ -305,9 +314,14 @@ def layered_paged_attention(
     num_queries_per_block=None,
     vmem_limit_bytes=None,
     interpret: bool = False,
+    return_cache: bool = False,
 ):
     """Ragged paged attention reading pages straight from the multi-layer
-    cache at a runtime layer index. Mixed prefill+decode. Returns (T, Hq, D).
+    cache at a runtime layer index. Mixed prefill+decode. Returns (T, Hq, D),
+    or (out, cache) with the cache ALIASED in/out when return_cache=True —
+    threading the aliased cache through the layer scan pins the buffer in
+    place (XLA otherwise ping-pongs the multi-GB carry: a whole-cache copy
+    per step, measured ~14ms at a 3.7GB pool).
     """
     n_tokens, n_q_heads, head_dim = q.shape
     n_layers, n_tensors, nb, page_size, ckv, hd = cache.shape
@@ -325,6 +339,20 @@ def layered_paged_attention(
     num_q_blks = pl.cdiv(n_tokens, nq)
 
     ratio = n_q_heads // n_kv_heads
+    o_spec = pl.BlockSpec((nq, n_q_heads, head_dim), lambda i, *_: (i, 0, 0))
+    if return_cache:
+        # cache passed through as an ALIASED output (input 7 = cache, after
+        # 6 scalar-prefetch operands + q) so the scan carry stays in place
+        body_fn, out_specs, alias = _kernel_dropping_cache_out, [
+            o_spec, pl.BlockSpec(memory_space=pl.ANY)], {7: 1}
+        out_shape = [jax.ShapeDtypeStruct(q.shape, q.dtype),
+                     jax.ShapeDtypeStruct(cache.shape, cache.dtype)]
+    else:
+        body_fn, out_specs, alias = _paged_attention_kernel, o_spec, {}
+        out_shape = jax.ShapeDtypeStruct(q.shape, q.dtype)
+    body = functools.partial(
+        body_fn, sm_scale=sm_scale, k_scale=k_scale, v_scale=v_scale,
+        plain_loads=bool(interpret))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,
         grid=(num_q_blks,),
@@ -332,7 +360,7 @@ def layered_paged_attention(
             pl.BlockSpec((nq, n_q_heads, head_dim), lambda i, *_: (i, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((nq, n_q_heads, head_dim), lambda i, *_: (i, 0, 0)),
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((2, pp, page_size, ckv, head_dim), cache.dtype),
             pltpu.SemaphoreType.DMA((2,)),
@@ -342,12 +370,10 @@ def layered_paged_attention(
         ],
     )
     kernel = pl.pallas_call(
-        functools.partial(
-            _paged_attention_kernel,
-            sm_scale=sm_scale, k_scale=k_scale, v_scale=v_scale,
-            plain_loads=bool(interpret)),
+        body,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        out_shape=out_shape,
+        input_output_aliases=alias,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=vmem_limit_bytes),
