@@ -64,8 +64,11 @@ class _RawImageProcessor(ImageProcessor):
 
 class RandomWeightFactory(ModelFactory):
     def __init__(self, arch: str, dtype=jnp.bfloat16, quantization: str = "none",
-                 kv_scale=None, multimodal: bool = False):
-        self.cfg = ARCH_CONFIGS[arch]
+                 kv_scale=None, multimodal: bool = False,
+                 layer_loop: str = "scan"):
+        import dataclasses
+        self.cfg = dataclasses.replace(ARCH_CONFIGS[arch],
+                                       layer_loop=layer_loop)
         self.dtype = dtype
         self.quantization = quantization
         self.kv_scale = kv_scale
@@ -124,10 +127,13 @@ def run_bench(arch: str, n_requests: int, prompt_len: int, max_tokens: int,
               token_budget: int, quantization: str = "none",
               kv_int8: bool = False, image_ratio: float = 0.0,
               kv_blocks: int = 0, kv_ref: bool = True,
-              attn_impl: str = "auto"):
+              attn_impl: str = "auto", layer_loop: str = "unroll"):
+    if attn_impl == "layered":
+        layer_loop = "scan"   # the layered kernel wants the stacked value cache
     factory = RandomWeightFactory(arch, quantization=quantization,
                                   kv_scale=0.05 if kv_int8 else None,
-                                  multimodal=image_ratio > 0)
+                                  multimodal=image_ratio > 0,
+                                  layer_loop=layer_loop)
     cfg = NodeConfig(
         batch_scheduler=BatchSchedulerConfig(
             max_running_requests=n_requests, priority="prefill"),
@@ -223,12 +229,16 @@ def main():
                     choices=["auto", "ragged", "layered", "jnp"],
                     help="paged-attention handler (layered = builder kernel "
                          "over the full multi-layer cache)")
+    ap.add_argument("--layer-loop", default="unroll",
+                    choices=["scan", "unroll"],
+                    help="scan over stacked weights vs unrolled per-layer "
+                         "loop with per-layer cache buffers")
     args = ap.parse_args()
     result = run_bench(args.arch, args.n_requests, args.prompt_len,
                        args.max_tokens, args.token_budget, args.quant,
                        kv_int8=args.kv_int8, image_ratio=args.image_ratio,
                        kv_blocks=args.kv_blocks, kv_ref=not args.no_kv_ref,
-                       attn_impl=args.attn_impl)
+                       attn_impl=args.attn_impl, layer_loop=args.layer_loop)
     print(json.dumps(result))
 
 

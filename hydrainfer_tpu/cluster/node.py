@@ -126,6 +126,15 @@ class AsyncEPDNode:
 
     def init(self, model_factory: Optional[ModelFactory] = None) -> None:
         nt = self.context.node_type
+        if (model_factory is None and nt.has_language_model
+                and self.config.model.layer_loop == "auto"
+                and self.config.model.attention_impl != "layered"):
+            # engine-owned LMs run the unrolled layer loop over a per-layer
+            # cache: the attention kernel operand is a per-layer buffer
+            # (static offset-0 slice) so the step cost no longer scales with
+            # total pool size (PERF_NOTES.md: dynamic cache[layer] slices
+            # cost ~3.2ms/GB/step under lax.scan)
+            self.config.model.layer_loop = "unroll"
         self.model_factory = model_factory or getModelFactory(self.config.model)
         self.language_config = self.model_factory.getLanguageModelConfig()
         self.vision_config = self.model_factory.getVisionModelConfig()
@@ -191,12 +200,18 @@ class AsyncEPDNode:
         # native layout of the TPU ragged paged attention kernel
         kv_dtype = ("int8" if self.config.model.kv_cache_dtype == "int8"
                     else self.config.model.dtype)
+        # per-layer cache buffers iff the LM actually runs the unrolled
+        # layer loop (the two must agree; detect from the built model so
+        # externally-supplied factories are honored)
+        lm_cfg = getattr(getattr(self.worker, "language_model", None), "cfg", None)
+        unrolled = getattr(lm_cfg, "layer_loop", "scan") == "unroll"
         kv_cfg = TokenCacheBlockManagerConfig(
             n_layers=lc.n_layers, n_tensors=1,
             n_blocks=max(self.config.n_kv_blocks, 1),
             block_size=self.config.kv_block_size,
             n_heads=2 * lc.n_kv_heads, head_dim=lc.head_dim,
             dtype=kv_dtype,
+            per_layer=unrolled,
             # jax.Ref in-place cache: avoids scan-carry copies (~3ms/GB per
             # step); sharded (TP) caches stay on the value/donation path, and
             # the layered kernel reads the cache VALUE (pallas can't take a
@@ -481,12 +496,12 @@ class AsyncEPDNode:
             rcb.token_slot = -1
             nt = self.context.node_type
             if rcb.virtual_kv_cache is not None and nt.has_kv_cache:
-                rcb.virtual_kv_cache = self._pull_virtual_cache(
+                rcb.virtual_kv_cache = await self._pull_virtual_cache(
                     src_node, rcb.virtual_kv_cache, is_kv=True)
             else:
                 rcb.virtual_kv_cache = None
             if rcb.virtual_image_cache is not None and nt.has_image_cache:
-                rcb.virtual_image_cache = self._pull_virtual_cache(
+                rcb.virtual_image_cache = await self._pull_virtual_cache(
                     src_node, rcb.virtual_image_cache, is_kv=False)
             else:
                 rcb.virtual_image_cache = None
@@ -495,14 +510,22 @@ class AsyncEPDNode:
 
             (m.ep_transfer if len(m.ep_transfer) == 1 else m.pd_transfer).append(time.perf_counter())
 
-    def _pull_virtual_cache(self, src_node: "AsyncEPDNode", src_vc, is_kv: bool):
-        src_mgr = src_node.kv_cache_manager if is_kv else src_node.image_cache_manager
+    async def _pull_virtual_cache(self, src_node, src_vc, is_kv: bool):
         dst_mgr = self.kv_cache_manager if is_kv else self.image_cache_manager
         dst_vc = dst_mgr.allocate_virtual_cache()
         dst_mgr.realloc(dst_vc, src_vc.n_cache_tokens)
         if src_vc.block_table:
-            blocks = src_mgr.gather_blocks(src_vc.block_table)
-            blocks = jax.device_put(blocks, dst_mgr.device)  # ICI/DCN hop
+            if getattr(src_node, "is_remote", False):
+                # cross-process/cross-host data plane: the source gathers its
+                # blocks and ships them as one numpy payload over the RPC
+                # socket (cluster/process_node.py); scatter lands them on
+                # this node's device
+                blocks = await src_node.gather_blocks(is_kv, src_vc.block_table)
+            else:
+                src_mgr = (src_node.kv_cache_manager if is_kv
+                           else src_node.image_cache_manager)
+                blocks = src_mgr.gather_blocks(src_vc.block_table)
+                blocks = jax.device_put(blocks, dst_mgr.device)  # ICI/DCN hop
             dst_mgr.scatter_blocks(dst_vc.block_table, blocks)
         return dst_vc
 

@@ -73,6 +73,14 @@ class TokenCacheBlockManagerConfig:
     # hold the cache as a jax.Ref for TRUE in-place updates inside the
     # jitted step (no scan-carry / donation round-trips)
     use_ref: bool = False
+    # store the pool as n_layers SEPARATE per-layer buffers (each
+    # (1, n_tensors, n_blocks, block_size, heads, dim)) instead of one
+    # stacked (n_layers, ...) array. Pairs with DecoderConfig.layer_loop
+    # ="unroll": the attention kernel's operand is then a per-layer buffer
+    # indexed with a STATIC layer 0 (free offset-0 slice) instead of a
+    # dynamic `cache[layer]` slice that XLA materializes (~pool/L bytes per
+    # layer = the whole pool per step, measured 3.2ms/GB — PERF_NOTES.md).
+    per_layer: bool = False
 
     @property
     def block_nbytes(self) -> int:
@@ -114,16 +122,28 @@ class TokenCacheBlockManager:
                  config.block_size, config.n_heads, config.head_dim)
         self.device = device if device is not None else jax.devices()[0]
         self.use_ref = config.use_ref
+        self.per_layer = config.per_layer
         with jax.default_device(self.device):
-            value = jnp.zeros(shape, dtype=self.dtype)
-            if self.use_ref:
-                # new_ref materializes on the default device — pin it here
-                self.cache_ref = _new_ref_adopting(value)
-                self._cache_array = None
-                value = None
+            if self.per_layer:
+                per_shape = (1,) + shape[1:]
+                layers = [jnp.zeros(per_shape, dtype=self.dtype)
+                          for _ in range(config.n_layers)]
+                if self.use_ref:
+                    self.cache_ref = [_new_ref_adopting(v) for v in layers]
+                    self._cache_array = None
+                else:
+                    self.cache_ref = None
+                    self._cache_array = layers
             else:
-                self.cache_ref = None
-                self._cache_array = value
+                value = jnp.zeros(shape, dtype=self.dtype)
+                if self.use_ref:
+                    # new_ref materializes on the default device — pin it here
+                    self.cache_ref = _new_ref_adopting(value)
+                    self._cache_array = None
+                    value = None
+                else:
+                    self.cache_ref = None
+                    self._cache_array = value
         self.block_allocator = BlockAllocator(config.n_blocks)
         self.shared_cache = SharedCache(SharedCacheConfig(n_blocks=config.n_blocks))
         self._vid_allocator = IncreasingAllocator(start=1)
@@ -131,20 +151,42 @@ class TokenCacheBlockManager:
         self._n_blocks_matched = 0
 
     @property
-    def cache_array(self) -> jax.Array:
-        """Value view of the cache (ref mode: materializes a snapshot —
-        use cache_ref / gather_blocks / scatter_blocks on hot paths)."""
+    def cache_array(self):
+        """Value view of the cache (ref mode: materializes a snapshot — use
+        cache_ref / gather_blocks / scatter_blocks on hot paths). In
+        per_layer mode this is the LIST of per-layer buffers (what the
+        unrolled decoder step takes); use stacked_snapshot() for one array."""
+        if self.per_layer:
+            if self.use_ref:
+                return [r[...] for r in self.cache_ref]
+            return self._cache_array
         if self.use_ref:
             return self.cache_ref[...]
         return self._cache_array
 
     @cache_array.setter
-    def cache_array(self, value: jax.Array) -> None:
+    def cache_array(self, value) -> None:
+        if self.per_layer:
+            assert isinstance(value, (list, tuple)) and \
+                len(value) == self.config.n_layers
+            if self.use_ref:
+                with jax.default_device(self.device):
+                    self.cache_ref = [_new_ref_adopting(v) for v in value]
+            else:
+                self._cache_array = list(value)
+            return
         if self.use_ref:
             with jax.default_device(self.device):
                 self.cache_ref = _new_ref_adopting(value)
         else:
             self._cache_array = value
+
+    def stacked_snapshot(self) -> jax.Array:
+        """(n_layers, n_tensors, ...) value snapshot regardless of layout
+        (copies in per_layer mode — tests/introspection only)."""
+        if self.per_layer:
+            return jnp.concatenate(list(self.cache_array), axis=0)
+        return self.cache_array
 
     # ---------------- allocation / virtual caches ----------------
 
@@ -234,6 +276,12 @@ class TokenCacheBlockManager:
         for transfer (replaces per-block cudaMemcpy at
         reference csrc/data_transfer/block_migration.cpp:194-246)."""
         idx = jnp.asarray(np.asarray(block_ids, dtype=np.int32))
+        if self.per_layer:
+            parts = ([jnp.moveaxis(r[:, :, idx], 2, 0) for r in self.cache_ref]
+                     if self.use_ref else
+                     [jnp.moveaxis(jnp.take(a, idx, axis=2), 2, 0)
+                      for a in self._cache_array])
+            return jnp.concatenate(parts, axis=1)
         if self.use_ref:
             return jnp.moveaxis(self.cache_ref[:, :, idx], 2, 0)
         return jnp.moveaxis(jnp.take(self._cache_array, idx, axis=2), 2, 0)
@@ -243,6 +291,18 @@ class TokenCacheBlockManager:
         # land the payload with the cache's own placement (single device, or
         # the node mesh's kv-head sharding — block payloads share the
         # cache's axis order so the spec transfers directly)
+        if self.per_layer:
+            if self.use_ref:
+                blocks = jax.device_put(blocks, self.device).astype(self.dtype)
+                for l, r in enumerate(self.cache_ref):
+                    _scatter_blocks_ref(r, idx, blocks[:, l:l + 1])
+            else:
+                for l in range(self.config.n_layers):
+                    a = self._cache_array[l]
+                    payload = jax.device_put(
+                        blocks[:, l:l + 1], a.sharding).astype(self.dtype)
+                    self._cache_array[l] = _scatter_blocks_jit(a, idx, payload)
+            return
         if self.use_ref:
             blocks = jax.device_put(blocks, self.device).astype(self.dtype)
             _scatter_blocks_ref(self.cache_ref, idx, blocks)

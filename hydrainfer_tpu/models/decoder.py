@@ -46,6 +46,18 @@ class DecoderConfig:
     rope_interleaved: bool = False
     tie_word_embeddings: bool = False
     attention_impl: str = "auto"
+    # layer-loop compilation strategy:
+    #   "scan"   — lax.scan over stacked weights; ONE compiled layer body.
+    #              The cache is one stacked (L, ...) array/Ref and the
+    #              kernel operand `cache[layer, 0]` has a DYNAMIC layer
+    #              index, which XLA materializes (~cache/L bytes per layer,
+    #              i.e. the whole pool per step: measured 3.2ms/GB).
+    #   "unroll" — Python loop over per-layer weights with the cache held
+    #              as L per-layer buffers (see TokenCacheBlockManagerConfig
+    #              .per_layer). The kernel operand is the per-layer buffer
+    #              itself (static offset-0 slice = free bitcast): per-step
+    #              cost is independent of pool size.
+    layer_loop: str = "scan"
     # INT8 KV cache: when set, K/V are quantized symmetrically with this
     # static scale on write and dequantized inside the attention kernel
     # (ragged kernel k_scale/v_scale path). None = cache in model dtype.
@@ -75,15 +87,24 @@ def stack_layer_weights(layers: list) -> dict:
             for k in keys}
 
 
-def pack_decoder_weights(weights: dict) -> dict:
+def pack_decoder_weights(weights: dict, layer_loop: str = "scan") -> dict:
     """Converted checkpoint layout {"layers": [per-layer dicts], ...} →
-    scan layout {"layers_segments": [{"offset", stacked...}], "last_layer"}.
+    scan layout {"layers_segments": [{"offset", stacked...}], "last_layer"},
+    or (layer_loop="unroll") the per-layer list kept as "layers_list".
 
     Consecutive layers with the same weight signature (e.g. DeepSeek's dense
     prefix then MoE region) form one scan segment each."""
-    if "layers_segments" in weights:
+    if "layers_segments" in weights or "layers_list" in weights:
         return weights
     layers = weights["layers"]
+    if layer_loop == "unroll":
+        packed = {k: v for k, v in weights.items() if k != "layers"}
+        packed["layers_list"] = [
+            {k: v for k, v in lw.items() if v is not None}
+            for lw in layers[:-1]]
+        packed["last_layer"] = {k: v for k, v in layers[-1].items()
+                                if v is not None}
+        return packed
     packed = {k: v for k, v in weights.items() if k != "layers"}
     body = layers[:-1]
     segments = []
@@ -215,6 +236,24 @@ def decoder_forward(weights: dict, cache: jax.Array, batch: LanguageModelBatch,
     cos = jnp.take(cos_tab, batch.positions, axis=0)
     sin = jnp.take(sin_tab, batch.positions, axis=0)
 
+    per_layer = "layers_list" in weights
+    if per_layer:
+        # unrolled loop over per-layer cache buffers (list of L entries,
+        # each (1, n_tensors, n_blocks, bs, heads, dim) — Ref or array).
+        # Static layer index 0 into a per-layer buffer is an offset-0 slice
+        # (free); nothing in the step scales with total pool size.
+        assert isinstance(cache, (list, tuple)) and len(cache) == cfg.n_layers, \
+            "unroll layer_loop needs a per-layer cache (per_layer=True manager)"
+        cache = list(cache)
+        is_ref = isinstance(cache[0], jax.Ref)
+        for l, lw in enumerate(weights["layers_list"]):
+            x, cache[l] = _layer_body(x, cache[l], 0, lw, batch, cos, sin,
+                                      cfg, max_q)
+        last_cache, last_layer_id = cache[-1], 0
+        return _last_layer_and_head(
+            weights, cache, last_cache, last_layer_id, x, batch, cos, sin,
+            cfg, max_q, token_table, return_logits, is_ref, per_layer)
+
     is_ref = isinstance(cache, jax.Ref)
 
     if is_ref:
@@ -241,6 +280,14 @@ def decoder_forward(weights: dict, cache: jax.Array, batch: LanguageModelBatch,
         else:
             (x, cache), _ = jax.lax.scan(scan_step, (x, cache), (layer_ids, stack))
 
+    return _last_layer_and_head(
+        weights, cache, cache, cfg.n_layers - 1, x, batch, cos, sin,
+        cfg, max_q, token_table, return_logits, is_ref, False)
+
+
+def _last_layer_and_head(weights, cache, last_cache, last_layer_id, x, batch,
+                         cos, sin, cfg: DecoderConfig, max_q, token_table,
+                         return_logits, is_ref, per_layer):
     # last layer: attention sees all T tokens (their KV must be appended),
     # then only the sampled rows continue through the MLP and head
     sample_idx = jnp.maximum(batch.sample_token_idx, 0)
@@ -254,18 +301,22 @@ def decoder_forward(weights: dict, cache: jax.Array, batch: LanguageModelBatch,
     q, k, v = jnp.split(qkv, [Hq * D, (Hq + Hkv) * D], axis=-1)
     q = apply_rotary_emb(q.reshape(T, Hq, D), cos, sin, cfg.rope_interleaved)
     k = apply_rotary_emb(k.reshape(T, Hkv, D), cos, sin, cfg.rope_interleaved)
-    cache = _write_kv(cache, cfg.n_layers - 1, batch, k,
-                      v.reshape(T, Hkv, D), cfg)
-    if cfg.attention_impl == "layered" and not isinstance(cache, jax.Ref):
+    last_cache = _write_kv(last_cache, last_layer_id, batch, k,
+                           v.reshape(T, Hkv, D), cfg)
+    if cfg.attention_impl == "layered" and not isinstance(last_cache, jax.Ref):
         from ..ops.attention import paged_attention_layered
-        attn, cache = paged_attention_layered(
-            q, cache, cfg.n_layers - 1, batch.attention, 1.0 / (D ** 0.5),
+        attn, last_cache = paged_attention_layered(
+            q, last_cache, last_layer_id, batch.attention, 1.0 / (D ** 0.5),
             k_scale=cfg.kv_scale, v_scale=cfg.kv_scale,
             interpret=jax.default_backend() != "tpu", return_cache=True)
     else:
-        attn = paged_attention(q, cache, cfg.n_layers - 1, batch.attention,
+        attn = paged_attention(q, last_cache, last_layer_id, batch.attention,
                                1.0 / (D ** 0.5), max_q, impl=cfg.attention_impl,
                                kv_scale=cfg.kv_scale)
+    if per_layer:
+        cache = list(cache[:-1]) + [last_cache]
+    else:
+        cache = last_cache
     x = x + qmatmul(attn.reshape(T, Hq * D), lw["o_proj"])
     x = jnp.take(x, sample_idx, axis=0)                  # token discard
     h = rms_norm(x, lw["post_norm"], cfg.rms_norm_eps)

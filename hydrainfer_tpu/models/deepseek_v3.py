@@ -22,8 +22,9 @@ from .tokenizer import HFTokenizerAdapter
 from .weight_loader import WeightStore
 
 
-def deepseek_decoder_config(text_cfg: dict, attention_impl: str = "auto"):
-    base = decoder_config_from_hf(text_cfg, attention_impl)
+def deepseek_decoder_config(text_cfg: dict, attention_impl: str = "auto",
+                            layer_loop: str = "auto"):
+    base = decoder_config_from_hf(text_cfg, attention_impl, layer_loop=layer_loop)
     return dataclasses.replace(
         base,
         moe_top_k=text_cfg.get("num_experts_per_tok", 0) or 0,
@@ -85,8 +86,8 @@ class DeepSeekModelFactory(ModelFactory):
         with open(os.path.join(config.path, "config.json")) as f:
             self.hf_cfg = json.load(f)
         self.text_cfg = self.hf_cfg.get("text_config", self.hf_cfg)
-        self.decoder_cfg = deepseek_decoder_config(self.text_cfg,
-                                                   config.attention_impl)
+        self.decoder_cfg = deepseek_decoder_config(
+            self.text_cfg, config.attention_impl, layer_loop=config.layer_loop)
         self._lm = None
 
     def getLanguageModel(self) -> LlamaForCausalLM:

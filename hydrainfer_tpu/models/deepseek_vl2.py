@@ -279,8 +279,8 @@ class DeepSeekVL2ModelFactory(ModelFactory):
                                       [768, 768], [384, 1152], [1152, 384]])
         self.text_cfg = self.hf_cfg.get("language_config",
                                         self.hf_cfg.get("text_config", {}))
-        self.decoder_cfg = deepseek_decoder_config(self.text_cfg,
-                                                   config.attention_impl)
+        self.decoder_cfg = deepseek_decoder_config(
+            self.text_cfg, config.attention_impl, layer_loop=config.layer_loop)
         self._store = None
         self._lm = None
         self._vm = None

@@ -276,6 +276,10 @@ class ModelFactoryConfig:
     dtype: str = "auto"
     # attention implementation: auto | jnp | pallas
     attention_impl: str = "auto"
+    # layer-loop strategy: auto | scan | unroll (see DecoderConfig.layer_loop;
+    # "auto" = scan at the factory level, overridden to unroll by the node
+    # engine which pairs it with a per-layer cache)
+    layer_loop: str = "auto"
     # weight-only quantization of the decoder matmuls: none | int8 | int4
     quantization: str = "none"
     # KV cache dtype: auto (= model dtype) | int8 (symmetric, static scale,

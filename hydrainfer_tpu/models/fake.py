@@ -82,7 +82,10 @@ class FakeLanguageModel(LanguageModel):
         seed = int(np.asarray(flat[:dims.T]).sum()) % (2 ** 31)
         tokens = np.random.default_rng(seed).integers(
             10, self.cfg.vocab_size, size=(dims.S,), dtype=np.int32)
-        cache_out = None if isinstance(cache, jax.Ref) else cache
+        is_ref = isinstance(cache, jax.Ref) or (
+            isinstance(cache, (list, tuple)) and len(cache) > 0
+            and isinstance(cache[0], jax.Ref))
+        cache_out = None if is_ref else cache
         return LanguageModelOutput(sample_token_ids=jnp.asarray(tokens),
                                    cache=cache_out, token_table=token_table)
 

@@ -333,7 +333,8 @@ class InternVLModelFactory(ModelFactory):
         text_cfg = self.hf_cfg.get("text_config") or self.hf_cfg.get("llm_config")
         self.text_cfg = text_cfg
         self.lm_type = text_cfg.get("model_type", "llama")
-        self.decoder_cfg = decoder_config_from_hf(text_cfg, config.attention_impl)
+        self.decoder_cfg = decoder_config_from_hf(
+            text_cfg, config.attention_impl, layer_loop=config.layer_loop)
         self._store = None
         self._lm = None
         self._vm = None

@@ -18,7 +18,8 @@ from .factory import LanguageModel, LanguageModelBatch, LanguageModelOutput
 from .weight_loader import WeightStore
 
 
-def decoder_config_from_hf(cfg: dict, attention_impl: str = "auto") -> DecoderConfig:
+def decoder_config_from_hf(cfg: dict, attention_impl: str = "auto",
+                           layer_loop: str = "scan") -> DecoderConfig:
     hidden = cfg["hidden_size"]
     heads = cfg["num_attention_heads"]
     return DecoderConfig(
@@ -35,6 +36,7 @@ def decoder_config_from_hf(cfg: dict, attention_impl: str = "auto") -> DecoderCo
         qkv_bias=cfg.get("model_type") == "qwen2" or bool(cfg.get("attention_bias", False)),
         tie_word_embeddings=bool(cfg.get("tie_word_embeddings", False)),
         attention_impl=attention_impl,
+        layer_loop="scan" if layer_loop == "auto" else layer_loop,
     )
 
 
@@ -76,7 +78,7 @@ class LlamaForCausalLM(LanguageModel):
         from ..ops.quant import quantize_tree
         weights = quantize_tree(weights, quantization)
         # stacked scan layout: one compiled layer body instead of n_layers
-        self.weights = pack_decoder_weights(weights)
+        self.weights = pack_decoder_weights(weights, cfg.layer_loop)
         self.cos_tab, self.sin_tab = init_rope_tables(cfg)
         self._step = jax.jit(
             functools.partial(decoder_forward, cfg=cfg),
@@ -121,8 +123,10 @@ class LlamaForCausalLM(LanguageModel):
     def forward_flat(self, cache, token_table: jax.Array,
                      flat: jax.Array, image_cache: jax.Array,
                      dims) -> LanguageModelOutput:
-        step = (self._flat_step if isinstance(cache, jax.Ref)
-                else self._flat_step_value)
+        is_ref = isinstance(cache, jax.Ref) or (
+            isinstance(cache, (list, tuple)) and len(cache) > 0
+            and isinstance(cache[0], jax.Ref))
+        step = self._flat_step if is_ref else self._flat_step_value
         cache, token_table, tokens = step(
             self.weights, cache, token_table, flat, image_cache,
             self.cos_tab, self.sin_tab, dims=dims)

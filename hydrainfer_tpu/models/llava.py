@@ -86,7 +86,8 @@ class LlavaModelFactory(ModelFactory):
         self.text_cfg = self.hf_cfg["text_config"]
         if "vocab_size" not in self.text_cfg:
             self.text_cfg["vocab_size"] = self.hf_cfg.get("vocab_size", 32000)
-        self.decoder_cfg = decoder_config_from_hf(self.text_cfg, config.attention_impl)
+        self.decoder_cfg = decoder_config_from_hf(
+            self.text_cfg, config.attention_impl, layer_loop=config.layer_loop)
         self.clip_cfg = clip_config_from_hf(
             self.hf_cfg["vision_config"],
             self.hf_cfg.get("vision_feature_layer", -2))

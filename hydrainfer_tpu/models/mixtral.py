@@ -54,7 +54,8 @@ class MixtralModelFactory(ModelFactory):
         self.config = config
         with open(os.path.join(config.path, "config.json")) as f:
             self.hf_cfg = json.load(f)
-        base = decoder_config_from_hf(self.hf_cfg, config.attention_impl)
+        base = decoder_config_from_hf(self.hf_cfg, config.attention_impl,
+                                      layer_loop=config.layer_loop)
         import dataclasses
         self.decoder_cfg = dataclasses.replace(
             base,

@@ -262,7 +262,8 @@ class Qwen2VLModelFactory(ModelFactory):
             mlp_ratio=v.get("mlp_ratio", 4.0))
         text_cfg = dict(self.hf_cfg)
         text_cfg["model_type"] = "qwen2"
-        self.decoder_cfg = decoder_config_from_hf(text_cfg, config.attention_impl)
+        self.decoder_cfg = decoder_config_from_hf(
+            text_cfg, config.attention_impl, layer_loop=config.layer_loop)
         self._store = None
         self._lm = None
         self._vm = None

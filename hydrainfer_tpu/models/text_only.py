@@ -24,7 +24,8 @@ class TextOnlyModelFactory(ModelFactory):
         self.config = config
         with open(os.path.join(config.path, "config.json")) as f:
             self.hf_cfg = json.load(f)
-        self.decoder_cfg = decoder_config_from_hf(self.hf_cfg, config.attention_impl)
+        self.decoder_cfg = decoder_config_from_hf(self.hf_cfg, config.attention_impl,
+                                                  layer_loop=config.layer_loop)
         self._lm = None
 
     def getLanguageModel(self) -> LlamaForCausalLM:

@@ -101,7 +101,11 @@ def shard_decoder_weights(weights: dict, mesh: Mesh) -> dict:
     return out
 
 
-def shard_kv_cache(cache: jax.Array, mesh: Mesh) -> jax.Array:
-    """(n_layers, 2, n_blocks, block_size, n_kv_heads, head_dim): shard the
-    kv-head axis so each chip holds its own heads' pages."""
-    return jax.device_put(cache, NamedSharding(mesh, P(None, None, None, None, "tp", None)))
+def shard_kv_cache(cache, mesh: Mesh):
+    """(n_layers, n_tensors, n_blocks, block_size, n_kv_heads, head_dim):
+    shard the kv-head axis so each chip holds its own heads' pages. Accepts
+    the per-layer list layout too (each entry sharded the same way)."""
+    spec = NamedSharding(mesh, P(None, None, None, None, "tp", None))
+    if isinstance(cache, (list, tuple)):
+        return [jax.device_put(c, spec) for c in cache]
+    return jax.device_put(cache, spec)
