@@ -218,7 +218,8 @@ def main():
     ap.add_argument("--prompt-len", type=int, default=128)
     ap.add_argument("--max-tokens", type=int, default=128)
     ap.add_argument("--token-budget", type=int, default=2048)
-    ap.add_argument("--quant", default="none", choices=["none", "int8", "int4"])
+    ap.add_argument("--quant", default="none",
+                    choices=["none", "int8", "int4", "fp8"])
     ap.add_argument("--kv-int8", action="store_true")
     ap.add_argument("--image-ratio", type=float, default=0.0)
     ap.add_argument("--kv-blocks", type=int, default=0,

@@ -280,7 +280,7 @@ class ModelFactoryConfig:
     # "auto" = scan at the factory level, overridden to unroll by the node
     # engine which pairs it with a per-layer cache)
     layer_loop: str = "auto"
-    # weight-only quantization of the decoder matmuls: none | int8 | int4
+    # weight-only quantization of the decoder matmuls: none|int8|int4|fp8
     quantization: str = "none"
     # KV cache dtype: auto (= model dtype) | int8 (symmetric, static scale,
     # dequantized inside the attention kernel)

@@ -1,16 +1,16 @@
-"""Weight-only quantization (INT8 / INT4) for the decode hot path.
+"""Weight-only quantization (INT8 / INT4 / FP8-e4m3) for the decode hot path.
 
 Replaces the reference's Triton FP8 quant kernels
 (reference: hydrainfer/triton/per_token_group_quant_fp8_kernel.py,
 w8a8_block_fp8_matmul_kernel.py) with the TPU-appropriate scheme: batched
 decode is HBM-bandwidth-bound on WEIGHT reads, so weight-only quantization
-(int8 = 2x, int4 = 4x fewer bytes) moves the roofline directly. Activations
-stay bf16 — the dequant happens in the matmul's rhs load and XLA fuses the
-convert into the dot; a Pallas fused dequant-matmul kernel can slot in
-behind the same QuantizedTensor type.
+(int8/fp8 = 2x, int4 = 4x fewer bytes) moves the roofline directly.
+Activations stay bf16 — the dequant happens in the matmul's rhs load and
+XLA fuses the convert into the dot; a Pallas fused dequant-matmul kernel
+can slot in behind the same QuantizedTensor type.
 
 Scheme: symmetric per-output-channel scales. int4 packs two nibbles per
-int8 byte along the input axis.
+int8 byte along the input axis; fp8 stores float8_e4m3fn (amax → 448).
 """
 from dataclasses import dataclass
 from typing import Union
@@ -21,16 +21,17 @@ import jax.numpy as jnp
 
 @dataclass(frozen=True)
 class QuantizedTensor:
-    """q: int8 (in, out) for int8, or (in/2, out) packed for int4;
-    scale: (out,) f32."""
+    """q: int8 (in, out) for int8, float8_e4m3fn (in, out) for fp8, or
+    (in/2, out) packed int8 for int4; scale: (out,) f32."""
     q: jax.Array
     scale: jax.Array
-    bits: int = 8  # static (pytree metadata)
+    bits: int = 8       # static (pytree metadata); 8 for both int8 and fp8
+    fmt: str = "int"    # "int" | "fp8"
 
 
 jax.tree_util.register_dataclass(QuantizedTensor,
                                  data_fields=["q", "scale"],
-                                 meta_fields=["bits"])
+                                 meta_fields=["bits", "fmt"])
 
 
 def quantize_int8(w: jax.Array) -> QuantizedTensor:
@@ -54,6 +55,19 @@ def quantize_int4(w: jax.Array) -> QuantizedTensor:
     hi = (q[1::2] & 0x0F) << 4
     packed = (lo | hi).astype(jnp.int8)
     return QuantizedTensor(q=packed, scale=scale, bits=4)
+
+
+def quantize_fp8(w: jax.Array) -> QuantizedTensor:
+    """(in, out) float → per-column-scaled float8_e4m3fn (max 448). Same
+    byte width as int8 but with 4 exponent bits: no re-centering needed for
+    heavy-tailed weight columns (reference scheme:
+    hydrainfer/triton/per_token_group_quant_fp8_kernel.py:6-41 — per-group
+    e4m3 with amax scaling; here per-output-channel, weight-only)."""
+    wf = w.astype(jnp.float32)
+    scale = jnp.max(jnp.abs(wf), axis=0) / 448.0
+    scale = jnp.maximum(scale, 1e-12)
+    q = (wf / scale[None, :]).astype(jnp.float8_e4m3fn)
+    return QuantizedTensor(q=q, scale=scale, bits=8, fmt="fp8")
 
 
 def _unpack_int4(packed: jax.Array) -> jax.Array:
@@ -90,7 +104,7 @@ def qmatmul(x: jax.Array, w: Union[jax.Array, QuantizedTensor]) -> jax.Array:
     """x @ W for plain or quantized weights (the dispatch point the Pallas
     fused dequant-matmul kernel plugs into)."""
     if isinstance(w, QuantizedTensor):
-        if (_USE_PALLAS_QMM and w.bits == 8 and x.ndim == 2
+        if (_USE_PALLAS_QMM and w.bits == 8 and w.fmt == "int" and x.ndim == 2
                 and jax.default_backend() == "tpu"):
             bk, bn = _pick_block(w.q.shape[0]), _pick_block(w.q.shape[1])
             if bk and bn:
@@ -117,11 +131,12 @@ def qmatmul_f32(x: jax.Array, w: Union[jax.Array, QuantizedTensor]) -> jax.Array
 def quantize_tree(weights, mode: str, keys=("qkv_proj", "o_proj", "gate_up",
                                             "down", "lm_head")):
     """Quantize the matmul weights of a decoder pytree in place-ish.
-    mode: 'none' | 'int8' | 'int4'. Norms/embeddings stay full precision
-    (embedding gathers are tiny; lm_head is quantized)."""
+    mode: 'none' | 'int8' | 'int4' | 'fp8'. Norms/embeddings stay full
+    precision (embedding gathers are tiny; lm_head is quantized)."""
     if mode in (None, "none", ""):
         return weights
-    quant = {"int8": quantize_int8, "int4": quantize_int4}[mode]
+    quant = {"int8": quantize_int8, "int4": quantize_int4,
+             "fp8": quantize_fp8}[mode]
 
     def convert(d):
         return {k: (quant(v) if k in keys and v is not None else v)

@@ -74,7 +74,7 @@ def shard_decoder_weights(weights: dict, mesh: Mesh) -> dict:
             return QuantizedTensor(
                 q=jax.device_put(x.q, NamedSharding(mesh, spec)),
                 scale=jax.device_put(x.scale, NamedSharding(mesh, scale_spec)),
-                bits=x.bits)
+                bits=x.bits, fmt=x.fmt)
         return jax.device_put(x, NamedSharding(mesh, spec))
 
     def stacked_spec(spec):

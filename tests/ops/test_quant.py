@@ -3,8 +3,9 @@ import numpy as np
 import pytest
 
 from hydrainfer_tpu.ops.quant import (QuantizedTensor, dequantize, qmatmul,
-                                      qmatmul_f32, quantize_int4,
-                                      quantize_int8, quantize_tree)
+                                      qmatmul_f32, quantize_fp8,
+                                      quantize_int4, quantize_int8,
+                                      quantize_tree)
 
 
 def test_int8_roundtrip_error():
@@ -27,7 +28,17 @@ def test_int4_pack_unpack_roundtrip():
     assert np.abs(deq - w).max() <= (max_abs / 7.0).max() * 0.51 + 1e-6
 
 
-@pytest.mark.parametrize("quant", [quantize_int8, quantize_int4])
+def test_fp8_roundtrip_error():
+    rng = np.random.default_rng(4)
+    w = rng.standard_normal((64, 32)).astype(np.float32)
+    qt = quantize_fp8(jnp.asarray(w))
+    assert qt.q.dtype == jnp.float8_e4m3fn and qt.fmt == "fp8"
+    deq = np.asarray(dequantize(qt, jnp.float32))
+    # e4m3 has a 3-bit mantissa: relative error <= 2^-4 per element
+    assert np.abs(deq - w).max() <= np.abs(w).max() * (2 ** -4) + 1e-6
+
+
+@pytest.mark.parametrize("quant", [quantize_int8, quantize_int4, quantize_fp8])
 def test_qmatmul_close_to_full_precision(quant):
     rng = np.random.default_rng(2)
     x = jnp.asarray(rng.standard_normal((4, 64)).astype(np.float32))
@@ -35,7 +46,10 @@ def test_qmatmul_close_to_full_precision(quant):
     exact = np.asarray(x @ w)
     approx = np.asarray(qmatmul(x, quant(w)))
     rel = np.abs(approx - exact).max() / np.abs(exact).max()
-    assert rel < (0.02 if quant is quantize_int8 else 0.15)
+    # int8: 1/127 per-element near amax; fp8 e4m3: 2^-4 relative (3-bit
+    # mantissa) — coarser near amax, finer for small magnitudes
+    assert rel < {quantize_int8: 0.02, quantize_fp8: 0.05,
+                  quantize_int4: 0.15}[quant]
     f32 = np.asarray(qmatmul_f32(x, quant(w)))
     np.testing.assert_allclose(f32, approx, rtol=1e-2, atol=1e-2)
 

@@ -42,6 +42,8 @@ def test_quantization_deltas_small(tiny_llama):
     path, _ = tiny_llama
     base = evaluate(path, dtype="float32", num_seqs=2, seq_len=48)
     q8 = evaluate(path, dtype="float32", quant="int8", num_seqs=2, seq_len=48)
+    f8 = evaluate(path, dtype="float32", quant="fp8", num_seqs=2, seq_len=48)
     kv8 = evaluate(path, dtype="float32", kv_int8=True, num_seqs=2, seq_len=48)
     assert abs(q8["nll"] - base["nll"]) < 0.05 * max(base["nll"], 1.0)
     assert abs(kv8["nll"] - base["nll"]) < 0.05 * max(base["nll"], 1.0)
+    assert abs(f8["nll"] - base["nll"]) < 0.05 * max(base["nll"], 1.0)
