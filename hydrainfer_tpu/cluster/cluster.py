@@ -35,6 +35,25 @@ class NodeSpec:
     node_type: str = "EPD"
     n_replicas: int = 1
     tpot_slo: float = 0.4
+    # per-spec engine config OVERLAY (reference: config/node/*.yaml presets
+    # composed into the cluster preset): a raw dict deep-merged over the
+    # cluster-wide `node` config, so the model path etc. set once at
+    # cluster.node still applies to every node type
+    node: Optional[dict] = None
+
+
+def spec_node_config(base: NodeConfig, spec: "NodeSpec") -> NodeConfig:
+    """Materialize one spec's NodeConfig: base deep-merged with the spec's
+    dict overlay (config/node/*.yaml fragments)."""
+    overlay = getattr(spec, "node", None)
+    if not overlay:
+        return base
+    import dataclasses as _dc
+
+    from ..config import build_dataclass, deep_merge
+    if _dc.is_dataclass(overlay):
+        overlay = _dc.asdict(overlay)
+    return build_dataclass(NodeConfig, deep_merge(_dc.asdict(base), overlay))
 
 
 @dataclass
@@ -45,6 +64,15 @@ class ClusterConfig:
     # tensor-parallel degree per node: each node owns tp_size devices and
     # shards its LM weights + kv-head axis over them (GSPMD)
     tp_size: int = 1
+    # deployment shape: "inprocess" = asyncio actors in this process;
+    # "process" = one OS process per node over the ZMQ RPC plane (the
+    # reference's actor-per-device shape, reference: cluster.py:123-141)
+    deployment: str = "inprocess"
+    # process deployment only: bind host for the RPC/token planes (tcp://
+    # addresses — the same code spans hosts over DCN)
+    host: str = "127.0.0.1"
+    platform: Optional[str] = None      # force child jax platform (tests: cpu)
+    xla_flags: Optional[str] = None
 
 
 def resolve_cluster_topology(cluster_type: str, n_devices: int) -> List[NodeSpec]:
@@ -100,7 +128,7 @@ class Cluster(RequestObserver):
                          for i in range(tp)]
                 device = group if tp > 1 else group[0]
                 dev_idx += 1
-                node = AsyncEPDNode(config.node, NodeContext(
+                node = AsyncEPDNode(spec_node_config(config.node, spec), NodeContext(
                     name=name, node_type=NodeType(spec.node_type),
                     device=device))
                 node.spec = spec

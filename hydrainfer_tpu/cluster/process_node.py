@@ -312,7 +312,8 @@ class ProcessCluster:
     """
 
     def __init__(self, config: ProcessClusterConfig):
-        from .cluster import NodeSpec, resolve_cluster_topology
+        from .cluster import (NodeSpec, resolve_cluster_topology,
+                              spec_node_config)
         self.config = config
         specs = config.nodes or resolve_cluster_topology(config.cluster_type, 1)
 
@@ -334,7 +335,7 @@ class ProcessCluster:
                 boots.append(NodeBoot(
                     name=f"{spec.node_type.lower()}{idx}",
                     node_type=spec.node_type,
-                    config=config.node,
+                    config=spec_node_config(config.node, spec),
                     rpc_host=config.host,
                     rpc_port=find_free_port(),
                     token_addr=token_addr,

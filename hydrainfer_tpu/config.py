@@ -7,10 +7,51 @@ tree from YAML/dict and applies `a.b.c=value` overrides, with the
 reference's 'auto'/-1 sentinel convention resolved by the components.
 """
 import dataclasses
+import os
 import typing
 from typing import Any, List, Optional, Sequence
 
 import yaml
+
+
+def deep_merge(base: dict, overlay: dict) -> dict:
+    """Recursive dict merge: overlay wins; nested dicts merge, everything
+    else (including lists) replaces."""
+    out = dict(base)
+    for k, v in overlay.items():
+        if isinstance(v, dict) and isinstance(out.get(k), dict):
+            out[k] = deep_merge(out[k], v)
+        else:
+            out[k] = v
+    return out
+
+
+def resolve_includes(data, base_dir: str, _stack: tuple = ()):
+    """Resolve `include: path | [paths]` keys at ANY dict level (the
+    reference's Hydra defaults-list equivalent, reference: config/ tree —
+    cluster presets composing node presets). Included files merge in order,
+    the including dict's own keys win; paths are relative to the including
+    file. Cycles raise."""
+    if isinstance(data, list):
+        return [resolve_includes(v, base_dir, _stack) for v in data]
+    if not isinstance(data, dict):
+        return data
+    includes = data.pop("include", None)
+    merged: dict = {}
+    if includes:
+        if isinstance(includes, str):
+            includes = [includes]
+        for inc in includes:
+            path = os.path.normpath(os.path.join(base_dir, inc))
+            if path in _stack:
+                raise ValueError(f"config include cycle at {path}")
+            with open(path) as f:
+                sub = yaml.safe_load(f) or {}
+            sub = resolve_includes(sub, os.path.dirname(path),
+                                   _stack + (path,))
+            merged = deep_merge(merged, sub)
+    own = {k: resolve_includes(v, base_dir, _stack) for k, v in data.items()}
+    return deep_merge(merged, own)
 
 
 def _coerce(value: str, target_type):
@@ -51,6 +92,11 @@ def build_dataclass(cls, data: dict):
         value = data[f.name]
         ftype = hints.get(f.name, f.type)
         origin = typing.get_origin(ftype)
+        if origin is typing.Union:  # Optional[SomeConfig]
+            args = [a for a in typing.get_args(ftype) if a is not type(None)]
+            if len(args) == 1:
+                ftype = args[0]
+                origin = typing.get_origin(ftype)
         if dataclasses.is_dataclass(ftype) and isinstance(value, dict):
             kwargs[f.name] = build_dataclass(ftype, value)
         elif origin in (list, List) and isinstance(value, list):
@@ -90,6 +136,7 @@ def load_config(cls, yaml_path: Optional[str] = None,
     if yaml_path:
         with open(yaml_path) as f:
             data = yaml.safe_load(f) or {}
+        data = resolve_includes(data, os.path.dirname(os.path.abspath(yaml_path)))
     cfg = build_dataclass(cls, data)
     for ov in overrides:
         assert "=" in ov, f"override must be key=value, got {ov!r}"

@@ -25,8 +25,23 @@ class EntryPointConfig:
 class EntryPoint:
     def __init__(self, config: EntryPointConfig, model_factory=None):
         self.config = config
-        self.cluster = Cluster(config.cluster, model_factory=model_factory)
-        factory = self.cluster.nodes[0].model_factory
+        if config.cluster.deployment == "process":
+            # one OS process per node (the reference's actor-per-device
+            # shape); the parent only needs the tokenizer + vision config,
+            # built locally without touching model weights
+            from ..cluster.process_node import (ProcessCluster,
+                                                ProcessClusterConfig)
+            c = config.cluster
+            self.cluster = ProcessCluster(ProcessClusterConfig(
+                cluster_type=c.cluster_type, nodes=c.nodes, node=c.node,
+                host=c.host, platform=c.platform, xla_flags=c.xla_flags))
+            if model_factory is None:
+                from ..models.factory import getModelFactory
+                model_factory = getModelFactory(c.node.model)
+            factory = model_factory
+        else:
+            self.cluster = Cluster(config.cluster, model_factory=model_factory)
+            factory = self.cluster.nodes[0].model_factory
         vision_cfg = factory.getVisionModelConfig()
         self.api_server = APIServer(
             config.api_server, factory.getTokenizer(),

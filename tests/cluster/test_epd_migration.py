@@ -128,7 +128,7 @@ def test_migrated_kv_blocks_content():
     ).astype(np.float32)
     src_mgr.scatter_blocks(vc.block_table, data)
 
-    dst_vc = d._pull_virtual_cache(p, vc, is_kv=True)
+    dst_vc = asyncio.run(d._pull_virtual_cache(p, vc, is_kv=True))
     got = np.asarray(d.kv_cache_manager.gather_blocks(dst_vc.block_table))
     np.testing.assert_allclose(got, data, rtol=1e-6)
 

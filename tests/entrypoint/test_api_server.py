@@ -158,3 +158,56 @@ def test_disaggregated_cluster_serving():
             assert len(data["choices"][0]["message"]["content"]) > 0
     asyncio.run(run_with_server(body, cluster_spec=[NodeSpec("EP", 1),
                                                     NodeSpec("D", 1)]))
+
+
+def test_api_server_over_process_cluster():
+    """EntryPoint with deployment=process: the API server fronts nodes in
+    separate OS processes (the reference's actor-per-device shape) — tokens
+    stream back over the ZMQ collector, migration crosses the P→D process
+    boundary."""
+    from hydrainfer_tpu.entrypoint.entrypoint import EntryPoint, EntryPointConfig
+
+    cfg = EntryPointConfig()
+    cfg.api_server.port = free_port()
+    cfg.cluster.deployment = "process"
+    cfg.cluster.platform = "cpu"
+    cfg.cluster.nodes = [NodeSpec("P", 1), NodeSpec("D", 1)]
+    cfg.cluster.node = NodeConfig(
+        batch_scheduler=BatchSchedulerConfig(max_running_requests=8),
+        request_processor=RequestProcessorConfig(
+            num_request_process_workers=1, block_size=4),
+        kv_block_size=4, n_kv_blocks=256, n_image_blocks=16)
+    cfg.cluster.node.model.name = "fake"
+    cfg.cluster.node.model.dtype = "float32"
+    entry = EntryPoint(cfg)
+    assert len(entry.cluster.handles) == 2
+
+    async def body():
+        await entry.cluster.start()
+        runner = await entry.api_server.start()
+        base = f"http://127.0.0.1:{cfg.api_server.port}"
+        try:
+            async with aiohttp.ClientSession() as session:
+                async with session.get(f"{base}/health") as resp:
+                    assert resp.status == 200
+                payload = {"messages": [{"role": "user", "content": "hi you"}],
+                           "max_tokens": 5, "ignore_eos": True}
+                async with session.post(f"{base}/v1/chat/completions",
+                                        json=payload) as resp:
+                    assert resp.status == 200
+                    data = await resp.json()
+                    assert len(data["choices"][0]["message"]["content"]) > 0
+                payload["stream"] = True
+                async with session.post(f"{base}/v1/chat/completions",
+                                        json=payload) as resp:
+                    assert resp.status == 200
+                    chunks = 0
+                    async for line in resp.content:
+                        if line.startswith(b"data:") and b"[DONE]" not in line:
+                            chunks += 1
+                    assert chunks >= 5
+        finally:
+            await entry.cluster.stop()
+            await runner.cleanup()
+
+    asyncio.run(body())
