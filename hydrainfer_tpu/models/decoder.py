@@ -68,6 +68,11 @@ class DecoderConfig:
     moe_scoring: str = "softmax"       # softmax | sigmoid
     moe_norm_topk: bool = True
     moe_routed_scaling: float = 1.0
+    # tensor-parallel mesh (set by shard_to): attention runs under shard_map
+    # with q heads + cache kv-heads sharded over the 'tp' axis — the Pallas
+    # ragged kernel cannot be GSPMD-partitioned, so the head axis is split
+    # explicitly and each device runs the kernel on its local heads
+    mesh: object = None
 
 
 def init_rope_tables(cfg: DecoderConfig):
@@ -155,6 +160,11 @@ def _layer_body(x, cache, layer_id, lw, batch: LanguageModelBatch,
             q, cache, layer_id, batch.attention, 1.0 / (D ** 0.5),
             k_scale=cfg.kv_scale, v_scale=cfg.kv_scale,
             interpret=jax.default_backend() != "tpu", return_cache=True)
+    elif cfg.mesh is not None:
+        from ..ops.attention import paged_attention_tp
+        attn = paged_attention_tp(q, cache, layer_id, batch.attention,
+                                  1.0 / (D ** 0.5), max_q, cfg.mesh,
+                                  impl=cfg.attention_impl, kv_scale=cfg.kv_scale)
     else:
         attn = paged_attention(q, cache, layer_id, batch.attention,
                                1.0 / (D ** 0.5), max_q, impl=cfg.attention_impl,
@@ -309,6 +319,11 @@ def _last_layer_and_head(weights, cache, last_cache, last_layer_id, x, batch,
             q, last_cache, last_layer_id, batch.attention, 1.0 / (D ** 0.5),
             k_scale=cfg.kv_scale, v_scale=cfg.kv_scale,
             interpret=jax.default_backend() != "tpu", return_cache=True)
+    elif cfg.mesh is not None:
+        from ..ops.attention import paged_attention_tp
+        attn = paged_attention_tp(q, last_cache, last_layer_id, batch.attention,
+                                  1.0 / (D ** 0.5), max_q, cfg.mesh,
+                                  impl=cfg.attention_impl, kv_scale=cfg.kv_scale)
     else:
         attn = paged_attention(q, last_cache, last_layer_id, batch.attention,
                                1.0 / (D ** 0.5), max_q, impl=cfg.attention_impl,

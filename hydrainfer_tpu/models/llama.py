@@ -80,6 +80,10 @@ class LlamaForCausalLM(LanguageModel):
         # stacked scan layout: one compiled layer body instead of n_layers
         self.weights = pack_decoder_weights(weights, cfg.layer_loop)
         self.cos_tab, self.sin_tab = init_rope_tables(cfg)
+        self._build_steps()
+
+    def _build_steps(self) -> None:
+        cfg = self.cfg
         self._step = jax.jit(
             functools.partial(decoder_forward, cfg=cfg),
             static_argnames=("max_q", "return_logits"),
@@ -105,12 +109,17 @@ class LlamaForCausalLM(LanguageModel):
 
     def shard_to(self, mesh) -> None:
         """Tensor-parallel placement: megatron-style NamedShardings on the
-        weight pytree (parallel/mesh.py); XLA SPMD inserts the collectives.
-        Call before the first forward."""
-        from ..parallel.mesh import shard_decoder_weights
+        weight pytree (parallel/mesh.py); XLA SPMD inserts the collectives,
+        and attention re-jits with the mesh so the Pallas ragged kernel runs
+        under shard_map on the sharded head axes (ops/attention.py:
+        paged_attention_tp). Call before the first forward."""
+        import dataclasses
+
+        from ..parallel.mesh import replicate, shard_decoder_weights
         self.weights = shard_decoder_weights(self.weights, mesh)
-        from ..parallel.mesh import replicate
         self.cos_tab, self.sin_tab = replicate((self.cos_tab, self.sin_tab), mesh)
+        self.cfg = dataclasses.replace(self.cfg, mesh=mesh)
+        self._build_steps()
 
     def forward(self, cache: jax.Array, token_table: jax.Array,
                 batch: LanguageModelBatch, max_q: int) -> LanguageModelOutput:

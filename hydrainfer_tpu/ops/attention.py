@@ -185,6 +185,50 @@ def paged_attention_layered(q: jax.Array, cache: jax.Array, layer_id,
         return_cache=return_cache)
 
 
+def paged_attention_tp(q: jax.Array, cache: jax.Array, layer_id,
+                       params: PagedAttentionParams, sm_scale: float,
+                       max_q: int, mesh, impl: str = "auto",
+                       kv_scale: Optional[float] = None) -> jax.Array:
+    """Tensor-parallel paged attention: shard_map over the mesh's 'tp' axis.
+
+    q's head axis and the cache's combined-kv-head axis are sharded, the
+    batch geometry is replicated, and each device runs the single-device
+    handler chain on its local heads — paged attention is embarrassingly
+    parallel over heads, so no collectives are needed (the o_proj all-reduce
+    falls out of the row-parallel matmul that follows). This is what lets
+    the Pallas ragged kernel (which GSPMD cannot partition) run under the
+    kv-head-sharded cache every real TP deployment uses.
+
+    The combined-head layout interleaves K/V (even/odd): a contiguous shard
+    of size 2*KVH/tp starts at an even index, so each device keeps whole
+    K/V pairs. Falls back to the GSPMD-partitioned dense path when head
+    counts don't divide the axis.
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    tp = mesh.shape.get("tp", 1)
+    H = q.shape[1]
+    KVH = cache.shape[-2] // 2
+    if H % tp or KVH % tp:
+        return paged_attention_jnp(q, cache, layer_id, params, sm_scale,
+                                   max_q, kv_scale=kv_scale)
+
+    def local(q_l, cache_l, layer_l, p_l):
+        return paged_attention(q_l, cache_l, layer_l[0], p_l, sm_scale,
+                               max_q, impl=impl, kv_scale=kv_scale)
+
+    cache_spec = P(*([None] * (cache.ndim - 2) + ["tp", None]))
+    rep = jax.tree_util.tree_map(lambda _: P(), params)
+    out = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(None, "tp", None), cache_spec, P(), rep),
+        out_specs=P(None, "tp", None),
+        check_vma=False,
+    )(q, cache, jnp.asarray(layer_id, jnp.int32).reshape(1), params)
+    return out
+
+
 _FALLBACK_LOGGED = False
 
 

@@ -32,8 +32,11 @@ def tiny_llama_path(tmp_path_factory):
 
 
 def run_engine(path, devices):
-    factory = getModelFactory(ModelFactoryConfig(path=path, dtype="float32",
-                                                 attention_impl="jnp"))
+    # attention_impl left at "auto": TP nodes route attention through
+    # shard_map (ops/attention.py:paged_attention_tp) — the real kernel on
+    # TPU, the jnp oracle per-shard on CPU — so this test fails if the
+    # sharded-attention path breaks (no more attention_impl="jnp" pin).
+    factory = getModelFactory(ModelFactoryConfig(path=path, dtype="float32"))
     factory.getTokenizer = lambda: SimpleTokenizer()
     cfg = NodeConfig(
         batch_scheduler=BatchSchedulerConfig(max_running_requests=4),
