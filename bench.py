@@ -27,100 +27,10 @@ from hydrainfer_tpu.cluster.node import NodeConfig
 from hydrainfer_tpu.engine.request_processor import RequestProcessorConfig
 from hydrainfer_tpu.engine.scheduler import BatchSchedulerConfig
 from hydrainfer_tpu.entrypoint.offline import OfflineEngine
-from hydrainfer_tpu.models.factory import (ImageProcessor,
-                                           ImageTokenCalculator,
-                                           LanguageModelConfig, ModelFactory,
-                                           VisionModelConfig)
-from hydrainfer_tpu.models.llama import LlamaForCausalLM
-from hydrainfer_tpu.models.random_init import ARCH_CONFIGS, init_decoder_weights
-from hydrainfer_tpu.models.tokenizer import SimpleTokenizer
+from hydrainfer_tpu.models.random_init import RandomWeightFactory
 from hydrainfer_tpu.request import Request, SamplingParameters
 
 V5E_HBM_BW = 819e9  # bytes/s
-
-
-class _NoImages(ImageTokenCalculator):
-    def get_num_image_tokens(self, image_size):
-        return 0
-
-
-class _FixedTokens(ImageTokenCalculator):
-    def __init__(self, n):
-        self.n = n
-
-    def get_num_image_tokens(self, image_size):
-        return self.n
-
-
-class _RawImageProcessor(ImageProcessor):
-    def __init__(self, size):
-        self.size = size
-
-    def process(self, image):
-        arr = np.asarray(image.convert("RGB").resize((self.size, self.size)),
-                         np.float32).transpose(2, 0, 1) / 255.0
-        return jnp.asarray(arr)
-
-
-class RandomWeightFactory(ModelFactory):
-    def __init__(self, arch: str, dtype=jnp.bfloat16, quantization: str = "none",
-                 kv_scale=None, multimodal: bool = False,
-                 layer_loop: str = "scan"):
-        import dataclasses
-        self.cfg = dataclasses.replace(ARCH_CONFIGS[arch],
-                                       layer_loop=layer_loop)
-        self.dtype = dtype
-        self.quantization = quantization
-        self.kv_scale = kv_scale
-        self.multimodal = multimodal
-        # CLIP-L/14-336 tower at the real architecture, projected to LM hidden
-        from hydrainfer_tpu.models.random_init import CLIP_L_336
-        self.clip_cfg = CLIP_L_336 if multimodal else None
-        self._lm = None
-        self._vm = None
-
-    def getLanguageModel(self):
-        if self._lm is None:
-            w = init_decoder_weights(self.cfg, jax.random.PRNGKey(0), self.dtype)
-            self._lm = LlamaForCausalLM(w, self.cfg, self.quantization,
-                                        kv_scale=self.kv_scale)
-        return self._lm
-
-    def getVisionModel(self):
-        if not self.multimodal:
-            return None
-        if self._vm is None:
-            from hydrainfer_tpu.models.llava import LlavaVisionModel
-            from hydrainfer_tpu.models.random_init import init_clip_weights
-            w = init_clip_weights(self.clip_cfg, jax.random.PRNGKey(1),
-                                  self.dtype, lm_hidden=self.cfg.hidden_size)
-            self._vm = LlavaVisionModel(w, self.clip_cfg)
-        return self._vm
-
-    def getVisionModelConfig(self):
-        if not self.multimodal:
-            return VisionModelConfig("", -1, _NoImages())
-        return VisionModelConfig("<image>", 9,
-                                 _FixedTokens(self.clip_cfg.n_patches))
-
-    def getLanguageModelConfig(self):
-        c = self.cfg
-        return LanguageModelConfig(
-            n_layers=c.n_layers, max_position_embeddings=c.max_position_embeddings,
-            n_qo_heads=c.n_qo_heads, n_kv_heads=c.n_kv_heads, head_dim=c.head_dim,
-            eos_token_id=2, hidden_size=c.hidden_size, vocab_size=c.vocab_size)
-
-    def getProcessor(self):
-        return (_RawImageProcessor(self.clip_cfg.image_size)
-                if self.multimodal else None)
-
-    def getTokenizer(self):
-        return SimpleTokenizer()
-
-    def param_bytes(self):
-        lm = self.getLanguageModel()
-        return sum(x.size * x.dtype.itemsize
-                   for x in jax.tree_util.tree_leaves(lm.weights))
 
 
 def run_bench(arch: str, n_requests: int, prompt_len: int, max_tokens: int,
@@ -194,6 +104,11 @@ def run_bench(arch: str, n_requests: int, prompt_len: int, max_tokens: int,
     # delivering tokens in bursts: per-token diffs would read ~0)
     tbts = [(o.token_times[-1] - o.token_times[0]) / (len(o.token_times) - 1)
             for o in outs if len(o.token_times) > 1]
+    # honest per-token gaps: what a per-token SLO checker sees. With batched
+    # postprocess (K>1) tokens arrive in bursts, so p90 of raw diffs
+    # captures the burst gap the averaged tbt hides.
+    gaps = np.concatenate([np.diff(o.token_times) for o in outs
+                           if len(o.token_times) > 1]) if tbts else np.array([0.0])
     return {
         "metric": f"engine_decode_tokens_per_s_per_chip_{arch}_" + (quantization if quantization != "none" else "bf16") + ("_kvint8" if kv_int8 else ""),
         "value": round(tput, 2),
@@ -205,6 +120,7 @@ def run_bench(arch: str, n_requests: int, prompt_len: int, max_tokens: int,
             "roofline_tokens_per_s": round(roofline, 1),
             "p50_ttft_s": round(ttfts[len(ttfts) // 2], 4),
             "p50_tbt_s": round(float(np.median(tbts)), 5) if tbts else None,
+            "p90_token_gap_s": round(float(np.percentile(gaps, 90)), 5),
             "image_ratio": image_ratio,
             "platform": jax.devices()[0].platform,
         },

@@ -1,0 +1,110 @@
+"""End-to-end SLO-attainment run on one chip: boot the API server over a
+random-weight engine, sweep Poisson request rates with benchmark.benchmark,
+and print the goodput/attainment table (reference:
+evaluation/slo_attainment/evaluation.sh:5-47 — server up, rate sweep,
+performance_analyzer).
+
+Usage (chip):  python -m evaluation.slo_run --rates 2 4 8 16 --out result/slo
+        (CPU): python -m evaluation.slo_run --tiny --platform cpu
+"""
+import argparse
+import asyncio
+import dataclasses
+import json
+import os
+
+
+async def amain(args):
+    from benchmark.benchmark import run_benchmark
+    from benchmark.metric import slo_attainment
+    from benchmark.performance_analyzer import summarize
+    from benchmark.synthetic_dataset import make_synthetic_entries
+    from hydrainfer_tpu.cluster.cluster import Cluster, ClusterConfig, NodeSpec
+    from hydrainfer_tpu.cluster.node import NodeConfig
+    from hydrainfer_tpu.engine.scheduler import BatchSchedulerConfig
+    from hydrainfer_tpu.entrypoint.api_server import APIServer, APIServerConfig
+    from hydrainfer_tpu.models.random_init import RandomWeightFactory
+    from hydrainfer_tpu.utils.socket_utils import find_free_port
+
+    factory = RandomWeightFactory(args.arch, multimodal=args.image_ratio > 0,
+                                  layer_loop="unroll")
+    node = NodeConfig(
+        batch_scheduler=BatchSchedulerConfig(
+            max_running_requests=args.max_batch, priority="prefill"),
+        kv_block_size=16,
+        n_kv_blocks=max(2048, 4 * args.max_batch *
+                        (args.max_prompt_len + args.max_output_len) // 16),
+        n_image_blocks=(max(8, args.max_batch) if args.image_ratio > 0 else 1),
+        image_block_size=(factory.clip_cfg.n_patches
+                          if args.image_ratio > 0 else -1))
+    node.model.dtype = "bf16"
+    cfg = ClusterConfig(nodes=[NodeSpec("EPD" if args.image_ratio > 0
+                                        else "PD", 1)], node=node)
+    cluster = Cluster(cfg, model_factory=factory)
+    port = find_free_port()
+    server = APIServer(APIServerConfig(port=port), factory.getTokenizer(),
+                       image_token="<image>")
+    server.register_observer(cluster)
+    await cluster.start()
+    runner = await server.start()
+    base = f"http://127.0.0.1:{port}"
+
+    os.makedirs(args.out, exist_ok=True)
+    entries = make_synthetic_entries(
+        args.num_requests, image_ratio=args.image_ratio,
+        prompt_len_range=(args.min_prompt_len, args.max_prompt_len),
+        output_len_range=(args.min_output_len, args.max_output_len), seed=0)
+    try:
+        # warmup: compile the serving buckets before any timed request
+        await run_benchmark(base, entries[: min(8, len(entries))], 1e9,
+                            "uniform")
+        rows = []
+        for rate in args.rates:
+            result = await run_benchmark(base, entries, rate, "poisson")
+            analysis = result.analyze()
+            analysis["slo"] = slo_attainment(result, args.ttft_slo,
+                                             args.tpot_slo)
+            with open(os.path.join(args.out, f"rate_{rate}.json"), "w") as f:
+                json.dump(analysis, f, indent=1)
+            rows.append(analysis)
+        table = summarize(rows)
+        print(json.dumps(table, indent=1))
+        with open(os.path.join(args.out, "summary.json"), "w") as f:
+            json.dump({"arch": args.arch, "ttft_slo": args.ttft_slo,
+                       "tpot_slo": args.tpot_slo, "table": table}, f, indent=1)
+    finally:
+        await cluster.stop()
+        await runner.cleanup()
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--arch", default="qwen2-vl-2b-lm")
+    ap.add_argument("--rates", type=float, nargs="+", default=[2, 4, 8, 16])
+    ap.add_argument("--num-requests", type=int, default=64)
+    ap.add_argument("--max-batch", type=int, default=64)
+    ap.add_argument("--min-prompt-len", type=int, default=32)
+    ap.add_argument("--max-prompt-len", type=int, default=256)
+    ap.add_argument("--min-output-len", type=int, default=32)
+    ap.add_argument("--max-output-len", type=int, default=128)
+    ap.add_argument("--image-ratio", type=float, default=0.0)
+    ap.add_argument("--ttft-slo", type=float, default=5.0)
+    ap.add_argument("--tpot-slo", type=float, default=0.1)
+    ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--platform", default=None, choices=[None, "cpu", "tpu"])
+    ap.add_argument("--out", default="result/slo")
+    args = ap.parse_args()
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+    if args.tiny:
+        args.rates = [4]
+        args.num_requests = 6
+        args.min_prompt_len, args.max_prompt_len = 8, 16
+        args.min_output_len, args.max_output_len = 4, 8
+        args.max_batch = 4
+    asyncio.run(amain(args))
+
+
+if __name__ == "__main__":
+    main()

@@ -80,6 +80,12 @@ class NodeConfig:
     # behind enqueued compute), so amortizing it K× is the big lever.
     # Streaming latency grows to ~K device steps. 1 = read every step.
     postprocess_batch_steps: int = 4
+    # adapt K to load: read every step when lightly loaded (streaming
+    # latency dominates, the read overhead is paid on a small batch), the
+    # full K when saturated (throughput-bound; reference SLO metric is
+    # per-token TBT, benchmark/benchmark.py:39-40). postprocess_batch_steps
+    # becomes the CAP.
+    adaptive_postprocess: bool = True
     # run fill postprocessing on a background thread instead (not the
     # default: on small hosts the reader thread starves the runtime's I/O)
     threaded_postprocess: bool = False
@@ -103,6 +109,22 @@ class BatchSchedulerObserver(RequestProcessorObserver):
 
     def update(self, rcb: RequestControlBlock) -> None:
         self.scheduler.schedule_new(rcb)
+
+
+def adaptive_postprocess_k(n_running: int, n_waiting: int,
+                           max_running: int, k_max: int) -> int:
+    """Token-read batching factor under the current load.
+
+    Saturated (requests queued, or the running set near the batch cap) →
+    throughput-bound: amortize the ~1-step read cost over the full k_max.
+    Nearly idle → per-token streaming (the read is paid on a small, fast
+    batch and TBT burstiness hurts the per-token SLO). In between, half.
+    """
+    if n_waiting > 0 or n_running >= max(1, int(0.75 * max_running)):
+        return k_max
+    if n_running <= 2:
+        return 1
+    return max(1, k_max // 2)
 
 
 class AsyncEPDNode:
@@ -337,9 +359,16 @@ class AsyncEPDNode:
             self.flush_fills()
         self.executor.execute_empty(empties)
         embed_future.get()
-        backlog = (self.config.max_threaded_backlog if self._post_pool is not None
-                   else max(self.config.async_pipeline_depth,
-                            self.config.postprocess_batch_steps))
+        if self._post_pool is not None:
+            backlog = self.config.max_threaded_backlog
+        else:
+            k = self.config.postprocess_batch_steps
+            if self.config.adaptive_postprocess:
+                k = adaptive_postprocess_k(
+                    len(self.batch_scheduler.running),
+                    len(self.batch_scheduler.waiting),
+                    self.batch_scheduler.config.max_running_requests, k)
+            backlog = max(self.config.async_pipeline_depth, k)
         if len(self._pending_fills) > backlog:
             self.flush_fills()
         await asyncio.gather(*migrate_tasks)

@@ -73,6 +73,10 @@ class DecoderConfig:
     # ragged kernel cannot be GSPMD-partitioned, so the head axis is split
     # explicitly and each device runs the kernel on its local heads
     mesh: object = None
+    # perf-bisect ablations, comma-separated ("no-attn", "no-write"): lets
+    # the in-process A/B harness build ablated engines side by side (the
+    # HYDRA_BISECT env var sets the same thing process-wide)
+    bisect: str = ""
 
 
 def init_rope_tables(cfg: DecoderConfig):
@@ -148,9 +152,10 @@ def _layer_body(x, cache, layer_id, lw, batch: LanguageModelBatch,
     k = apply_rotary_emb(k.reshape(T, Hkv, D), cos, sin, cfg.rope_interleaved)
     v = v.reshape(T, Hkv, D)
 
-    if "no-write" not in _BISECT:
+    bisect = cfg.bisect or _BISECT
+    if "no-write" not in bisect:
         cache = _write_kv(cache, layer_id, batch, k, v, cfg)
-    if "no-attn" in _BISECT:
+    if "no-attn" in bisect:
         attn = q
     elif cfg.attention_impl == "layered" and not isinstance(cache, jax.Ref):
         # in-place chain: aliased writer → aliased attention passthrough.

@@ -97,3 +97,101 @@ ARCH_CONFIGS = {
 CLIP_L_336 = CLIPVisionConfig(hidden_size=1024, intermediate_size=4096,
                               n_layers=23, n_heads=16, image_size=336,
                               patch_size=14)
+
+
+# ---------------- random-weight model factory ----------------
+
+class _NoImages:
+    def get_num_image_tokens(self, image_size):
+        return 0
+
+
+class _FixedTokens:
+    def __init__(self, n):
+        self.n = n
+
+    def get_num_image_tokens(self, image_size):
+        return self.n
+
+
+class _RawImageProcessor:
+    def __init__(self, size):
+        self.size = size
+
+    def process(self, image):
+        import numpy as np
+        arr = np.asarray(image.convert("RGB").resize((self.size, self.size)),
+                         np.float32).transpose(2, 0, 1) / 255.0
+        return jnp.asarray(arr)
+
+
+from .factory import ModelFactory
+
+
+class RandomWeightFactory(ModelFactory):
+    """ModelFactory over random weights at a real architecture (bench.py,
+    evaluation/ tooling, __graft_entry__). Optional CLIP-L/14-336 vision
+    tower projected to the LM hidden size for multimodal runs."""
+
+    def __init__(self, arch: str, dtype=jnp.bfloat16, quantization: str = "none",
+                 kv_scale=None, multimodal: bool = False,
+                 layer_loop: str = "scan", attention_impl: str = "auto",
+                 bisect: str = ""):
+        import dataclasses
+        self.cfg = dataclasses.replace(ARCH_CONFIGS[arch],
+                                       layer_loop=layer_loop,
+                                       attention_impl=attention_impl,
+                                       bisect=bisect)
+        self.dtype = dtype
+        self.quantization = quantization
+        self.kv_scale = kv_scale
+        self.multimodal = multimodal
+        self.clip_cfg = CLIP_L_336 if multimodal else None
+        self._lm = None
+        self._vm = None
+
+    def getLanguageModel(self):
+        if self._lm is None:
+            from .llama import LlamaForCausalLM
+            w = init_decoder_weights(self.cfg, jax.random.PRNGKey(0), self.dtype)
+            self._lm = LlamaForCausalLM(w, self.cfg, self.quantization,
+                                        kv_scale=self.kv_scale)
+        return self._lm
+
+    def getVisionModel(self):
+        if not self.multimodal:
+            return None
+        if self._vm is None:
+            from .llava import LlavaVisionModel
+            w = init_clip_weights(self.clip_cfg, jax.random.PRNGKey(1),
+                                  self.dtype, lm_hidden=self.cfg.hidden_size)
+            self._vm = LlavaVisionModel(w, self.clip_cfg)
+        return self._vm
+
+    def getVisionModelConfig(self):
+        from .factory import VisionModelConfig
+        if not self.multimodal:
+            return VisionModelConfig("", -1, _NoImages())
+        return VisionModelConfig("<image>", 9,
+                                 _FixedTokens(self.clip_cfg.n_patches))
+
+    def getLanguageModelConfig(self):
+        from .factory import LanguageModelConfig
+        c = self.cfg
+        return LanguageModelConfig(
+            n_layers=c.n_layers, max_position_embeddings=c.max_position_embeddings,
+            n_qo_heads=c.n_qo_heads, n_kv_heads=c.n_kv_heads, head_dim=c.head_dim,
+            eos_token_id=2, hidden_size=c.hidden_size, vocab_size=c.vocab_size)
+
+    def getProcessor(self):
+        return (_RawImageProcessor(self.clip_cfg.image_size)
+                if self.multimodal else None)
+
+    def getTokenizer(self):
+        from .tokenizer import SimpleTokenizer
+        return SimpleTokenizer()
+
+    def param_bytes(self):
+        lm = self.getLanguageModel()
+        return sum(x.size * x.dtype.itemsize
+                   for x in jax.tree_util.tree_leaves(lm.weights))

@@ -264,10 +264,9 @@ def paged_attention(q: jax.Array, cache: jax.Array, layer_id,
 
 # ---------------- ViT attention ----------------
 
-@functools.partial(jax.jit, static_argnames=("return_scores",))
 def mha_varlen(q: jax.Array, k: jax.Array, v: jax.Array,
                seq_ids: jax.Array, sm_scale: Optional[float] = None,
-               return_scores: bool = False
+               return_scores: bool = False, impl: str = "auto"
                ) -> Tuple[jax.Array, Optional[jax.Array]]:
     """Varlen (segment-masked) bidirectional MHA over concatenated patches.
 
@@ -276,7 +275,39 @@ def mha_varlen(q: jax.Array, k: jax.Array, v: jax.Array,
     (T, H, D) flat across images; seq_ids: (T,) image index per patch
     (-1 = padding). Optionally returns the attention scores for focal
     token pruning (reference: hydrainfer/layer/token_prunning.py).
+
+    Handler chain: the Pallas segment-masked flash kernel
+    (ops/pallas/mha_varlen.py — O(T) HBM traffic) on TPU; the dense O(T²)
+    jnp twin as oracle/fallback, and whenever the full score tensor is
+    requested for token pruning.
     """
+    if impl in ("auto", "flash") and not return_scores:
+        use_kernel = jax.default_backend() == "tpu" or impl == "flash"
+        if use_kernel and q.shape[0] >= 8:
+            from .pallas.mha_varlen import mha_varlen_flash
+            D = q.shape[-1]
+            scale = sm_scale if sm_scale is not None else 1.0 / (D ** 0.5)
+            try:
+                out = mha_varlen_flash(
+                    q, k, v, seq_ids, scale,
+                    interpret=jax.default_backend() != "tpu")
+                return out, None
+            except Exception as e:
+                global _FALLBACK_LOGGED
+                if not _FALLBACK_LOGGED:
+                    _FALLBACK_LOGGED = True
+                    import logging
+                    logging.getLogger(__name__).warning(
+                        "varlen flash kernel unavailable, dense jnp fallback "
+                        "(first occurrence only): %s", e)
+    return _mha_varlen_dense(q, k, v, seq_ids, sm_scale, return_scores)
+
+
+@functools.partial(jax.jit, static_argnames=("return_scores",))
+def _mha_varlen_dense(q: jax.Array, k: jax.Array, v: jax.Array,
+                      seq_ids: jax.Array, sm_scale: Optional[float] = None,
+                      return_scores: bool = False
+                      ) -> Tuple[jax.Array, Optional[jax.Array]]:
     T, H, D = q.shape
     scale = sm_scale if sm_scale is not None else 1.0 / (D ** 0.5)
     qf = q.astype(jnp.float32) * scale
