@@ -16,7 +16,9 @@ Usage (chip):
       "unroll-noattn;layer_loop=unroll;bisect=no-attn"
 
 Each variant: "label;key=value;...", keys: layer_loop, bisect, attn_impl,
-quant, kv_int8, kv_blocks, kv_ref.
+quant, kv_int8, kv_blocks, kv_ref, multi_step, pallas_qmm. NOTE: pallas_qmm
+is baked at engine WARMUP (trace time) — list such variants so the flag is
+set before their first generate().
 """
 import argparse
 import json
@@ -31,7 +33,8 @@ def parse_variant(spec: str) -> dict:
     parts = spec.split(";")
     v = {"label": parts[0], "layer_loop": "unroll", "bisect": "",
          "attn_impl": "auto", "quant": "none", "kv_int8": False,
-         "kv_blocks": 0, "kv_ref": True}
+         "kv_blocks": 0, "kv_ref": True, "multi_step": 1,
+         "pallas_qmm": False}
     for p in parts[1:]:
         k, _, val = p.partition("=")
         assert k in v, f"unknown variant key {k}"
@@ -42,6 +45,8 @@ def parse_variant(spec: str) -> dict:
 
 def build_engine(arch, v, n_requests, prompt_len, max_tokens, token_budget):
     from hydrainfer_tpu.cluster.node import NodeConfig
+    from hydrainfer_tpu.ops.quant import set_pallas_qmm
+    set_pallas_qmm(v["pallas_qmm"])  # baked into this engine's jit traces
     from hydrainfer_tpu.engine.request_processor import RequestProcessorConfig
     from hydrainfer_tpu.engine.scheduler import BatchSchedulerConfig
     from hydrainfer_tpu.entrypoint.offline import OfflineEngine
@@ -59,6 +64,7 @@ def build_engine(arch, v, n_requests, prompt_len, max_tokens, token_budget):
             256, 2 * n_requests * (prompt_len + max_tokens) // 16),
         n_image_blocks=1)
     cfg.kv_cache_ref = v["kv_ref"]
+    cfg.multi_step_decode = v["multi_step"]
     cfg.model.dtype = "bf16"
     cfg.model.attention_impl = v["attn_impl"]
     if v["kv_int8"]:

@@ -31,6 +31,7 @@ def main():
     ap.add_argument("--kv-len", type=int, default=160)
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--bisect", default="")
+    ap.add_argument("--mode", default="fused", choices=["fused", "dispatch"])
     args = ap.parse_args()
     sys.path.insert(0, ".")
 
@@ -87,30 +88,64 @@ def main():
     import functools
 
     from hydrainfer_tpu.models.decoder import decoder_forward
-    jit_step = jax.jit(functools.partial(decoder_forward, cfg=cfg),
-                       static_argnames=("max_q",),
-                       donate_argnames=("token_table",))
 
-    def step(cache, token_table):
-        # (cache_out|None-for-refs, token_table, tokens)
-        return jit_step(lm.weights, cache, batch, lm.cos_tab, lm.sin_tab,
-                        max_q=1, token_table=token_table)
+    # Two probe modes:
+    #  dispatch — one XLA execution per step from a tight Python loop. On
+    #    the axon tunnel each enqueue chains on the previous step's output
+    #    handles, so this measures the dispatch round-trip chain (what the
+    #    engine pays when its pipeline can't run ahead), NOT device time —
+    #    measured 46ms/step (scan, ~45 args) to 105ms/step (unroll, ~230
+    #    args): it scales with the ARG COUNT of the executable.
+    #  fused — lax.scan over K steps INSIDE one jit: one dispatch, K real
+    #    data-dependent steps; per-step time is true device program time.
+    if args.mode == "fused":
+        assert kv_cfg.use_ref, "fused probe needs the in-place Ref cache"
 
-    # warmup/compile
-    _, token_table, tokens = step(cache, token_table)
-    tokens.block_until_ready()
+        # weights/batch/rope as ARGUMENTS — a closure would bake 3.5GB of
+        # weights into the executable as captured constants
+        @functools.partial(jax.jit, static_argnames=("k",),
+                           donate_argnames=("token_table",))
+        def run_k(weights, cache, batch, cos, sin, token_table, k):
+            def body(tt, _):
+                _, tt, tokens = decoder_forward(
+                    weights, cache, batch, cos, sin, cfg,
+                    max_q=1, token_table=tt)
+                return tt, tokens[0]
+            tt, toks = jax.lax.scan(body, token_table, None, length=k)
+            return tt, toks
 
-    t0 = time.perf_counter()
-    for _ in range(args.steps):
-        cache_out, token_table, tokens = step(cache, token_table)
-        if cache_out is not None:
-            cache = cache_out
-    tokens.block_until_ready()
-    dt = time.perf_counter() - t0
+        token_table, toks = run_k(lm.weights, cache, batch, lm.cos_tab,
+                                  lm.sin_tab, token_table, k=4)   # compile
+        toks.block_until_ready()
+        t0 = time.perf_counter()
+        token_table, toks = run_k(lm.weights, cache, batch, lm.cos_tab,
+                                  lm.sin_tab, token_table, k=args.steps)
+        toks.block_until_ready()
+        dt = time.perf_counter() - t0
+    else:
+        jit_step = jax.jit(functools.partial(decoder_forward, cfg=cfg),
+                           static_argnames=("max_q",),
+                           donate_argnames=("token_table",))
+
+        def step(cache, token_table):
+            # (cache_out|None-for-refs, token_table, tokens)
+            return jit_step(lm.weights, cache, batch, lm.cos_tab, lm.sin_tab,
+                            max_q=1, token_table=token_table)
+
+        _, token_table, tokens = step(cache, token_table)   # compile
+        tokens.block_until_ready()
+        t0 = time.perf_counter()
+        for _ in range(args.steps):
+            cache_out, token_table, tokens = step(cache, token_table)
+            if cache_out is not None:
+                cache = cache_out
+        tokens.block_until_ready()
+        dt = time.perf_counter() - t0
+
     per_step_ms = dt / args.steps * 1e3
-    print(f"layer_loop={args.layer_loop} bisect='{args.bisect}' b{B} "
-          f"kv{args.kv_len} blocks{args.kv_blocks}: "
-          f"{per_step_ms:.2f} ms/step pure-device "
+    print(f"mode={args.mode} layer_loop={args.layer_loop} "
+          f"bisect='{args.bisect}' b{B} kv{args.kv_len} "
+          f"blocks{args.kv_blocks}: {per_step_ms:.2f} ms/step "
           f"({B / (dt / args.steps):.0f} tok/s)")
 
 

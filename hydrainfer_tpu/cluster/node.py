@@ -86,6 +86,16 @@ class NodeConfig:
     # per-token TBT, benchmark/benchmark.py:39-40). postprocess_batch_steps
     # becomes the CAP.
     adaptive_postprocess: bool = True
+    # fused multi-step decode: when a scheduled batch is pure decode, run
+    # up to this many chained decode steps in ONE device program (geometry
+    # advances on device, tokens flow through the token table) — the TPU
+    # analogue of replaying the reference's all-decode CUDA graph K times.
+    # Engine A/B on chip: 2.24x at K=4, 2.39x at K=8 (paired, b32) — the
+    # per-dispatch tunnel/host cost dominated the decode step. 1 = off.
+    # The executor shrinks the window when requests run out of pre-created
+    # decode Fills or KV blocks; under adaptive_postprocess the window also
+    # shrinks at light load (streaming latency over throughput).
+    multi_step_decode: int = 8
     # run fill postprocessing on a background thread instead (not the
     # default: on small hosts the reader thread starves the runtime's I/O)
     threaded_postprocess: bool = False
@@ -348,7 +358,16 @@ class AsyncEPDNode:
         embed_future = self.executor.execute_image_embed(embeds) if len(embeds) \
             else self.executor.execute_empty(embeds)
         if len(fills):
-            fut = self.executor.execute_fill(fills)
+            n_steps = self.config.multi_step_decode
+            if self.config.adaptive_postprocess and n_steps > 1:
+                # same load policy as the read batching: full fused window
+                # when throughput-bound, single steps when streaming-bound
+                n_steps = min(n_steps, adaptive_postprocess_k(
+                    self.batch_scheduler.n_resident,
+                    len(self.batch_scheduler.waiting),
+                    self.batch_scheduler.config.max_running_requests,
+                    n_steps))
+            fut = self.executor.execute_fill(fills, n_steps=n_steps)
             if self._post_pool is not None:
                 # hand the device→host read to the reader thread; the step
                 # loop keeps dispatching
@@ -365,7 +384,7 @@ class AsyncEPDNode:
             k = self.config.postprocess_batch_steps
             if self.config.adaptive_postprocess:
                 k = adaptive_postprocess_k(
-                    len(self.batch_scheduler.running),
+                    self.batch_scheduler.n_resident,
                     len(self.batch_scheduler.waiting),
                     self.batch_scheduler.config.max_running_requests, k)
             backlog = max(self.config.async_pipeline_depth, k)

@@ -136,10 +136,60 @@ class FillExecutor:
             if vbids:
                 self.kv.set_blocks(rcb.virtual_kv_cache, vbids, hashes)
 
-    def execute(self, batch: BatchRequest) -> Future:
+    def _multi_step_window(self, batch: BatchRequest, n_steps: int):
+        """Fused-decode window for this batch: (n_steps, per-request ks).
+
+        Fusion needs a pure single-token-decode batch whose pre-created
+        decode Fills advance position==cache id (so the device can advance
+        geometry itself). Each request contributes ks[i] real steps — its
+        run of consecutive eligible Fills, capped at n_steps; requests with
+        fewer steps than the window ride along with their state writes
+        masked on device (models/decoder.py:decoder_forward_multi). The
+        batch-wide window is NOT the min over requests — that would collapse
+        to 1 in steady state (some request is always near its token limit)
+        and make n_steps an unbounded compile-key set; instead n_steps stays
+        the configured power-of-two, halved only under KV-block pressure.
+        """
+        if n_steps <= 1 or not self.worker.supports_multi_step():
+            return 1, None
+        ks = []
+        for rcb, inst in batch:
+            if (not isinstance(inst, Fill) or len(inst.position_ids) != 1
+                    or not inst.sample or inst.is_chunked):
+                return 1, None
+            k, node = 0, rcb.instructions.curr
+            while (k < n_steps and isinstance(node, Fill)
+                   and len(node.position_ids) == 1 and node.sample
+                   and not node.is_chunked
+                   and node.position_ids == node.cache_ids):
+                k += 1
+                node = node.next
+            ks.append(k)
+        if max(ks) <= 1:
+            return 1, None
+        # realloc the look-ahead blocks; shrink the window under pressure
+        bs = self.kv.block_size
+        while n_steps > 1:
+            need = 0
+            for (rcb, inst), k in zip(batch, ks):
+                target = inst.cache_ids[0] + min(k, n_steps)
+                need += max(0, -(-target // bs)
+                            - len(rcb.virtual_kv_cache.block_table))
+            if need <= self.kv.n_available_blocks():
+                break
+            n_steps = max(1, n_steps // 2)
+        if n_steps <= 1:
+            return 1, None
+        ks = [min(k, n_steps) for k in ks]
+        for (rcb, inst), k in zip(batch, ks):
+            self.kv.realloc(rcb.virtual_kv_cache, inst.cache_ids[0] + k)
+        return n_steps, ks
+
+    def execute(self, batch: BatchRequest, n_steps: int = 1) -> Future:
         if len(batch) == 0:
             return EmptyFuture()
 
+        n_steps, ks = self._multi_step_window(batch, n_steps)
         self._register_prefix_blocks(batch)
         for rcb, _ in batch:
             self.acquire_slot(rcb)
@@ -149,18 +199,34 @@ class FillExecutor:
         builder.add_batch(batch)
         plan = builder.build()
 
+        fused_k = None
+        if n_steps > 1:
+            fused_k = np.zeros(plan.dims.S, np.int32)
+            fused_k[:len(ks)] = ks
         image_cache = (self.image.cache_array if self.image is not None
                        else self._dummy_image_cache)
         cache_in = self.kv.cache_ref if self.kv.use_ref else self.kv.cache_array
         out = self.worker.execute_language_model(
             cache_in, self.token_table, jnp.asarray(plan.flat),
-            image_cache, plan.dims)
+            image_cache, plan.dims, n_steps=n_steps, fused_k=fused_k)
         # ref mode updates in place (out.cache is None); value mode donated
         if out.cache is not None and not isinstance(out.cache, jax.Ref):
             self.kv.cache_array = out.cache
         self.token_table = out.token_table
         sampled_dev = out.sample_token_ids
-        batch.step()
+        # advance each request through ITS window (ks[i] steps), collecting
+        # per-step instruction rows for host-side token resolution; rows a
+        # request doesn't reach hold None (its device lanes were masked)
+        plan.n_steps = n_steps
+        if n_steps == 1:
+            batch.step()
+        else:
+            rows = [[None] * len(plan.seq_rcbs) for _ in range(n_steps)]
+            for i, rcb in enumerate(plan.seq_rcbs):
+                for s in range(ks[i]):
+                    rows[s][i] = rcb.current_instruction()
+                    rcb.step()
+            plan.step_insts = rows
 
         def postprocess():
             # the only host↔device sync in the fill path — the node batches
@@ -175,29 +241,35 @@ class FillExecutor:
 
 
 def postprocess_plan(plan, sampled: np.ndarray) -> None:
-    """Host-side consumption of one fill step's sampled tokens."""
+    """Host-side consumption of one fill step's sampled tokens (or of a
+    fused multi-step window's — the device returns n_steps*S tokens)."""
     token_time = time.perf_counter()
-    for i, (rcb, inst) in enumerate(zip(plan.seq_rcbs, plan.seq_insts)):
-        if not inst.sample:
-            continue
-        next_token = int(sampled[i])
-        if inst.sample_dst is not None:
-            # resolve on host too (migration and debugging read this)
-            inst.sample_dst.token_ids = [next_token]
-        if inst.is_chunked:
-            continue
-        # Termination is decided from TOKEN state only: under the async
-        # pipeline the instruction cursor runs ahead of token
-        # postprocessing, so rcb.is_finished() (which also looks at the
-        # cursor) would fire early here — and a request may have surplus
-        # in-flight steps after its terminating token, which must be dropped.
-        if _tokens_done(rcb):
-            continue
-        rcb.metric.token_times.append(token_time)
-        rcb.output_token_ids.append(next_token)
-        is_last = _tokens_done(rcb)
-        for proc in rcb.output_token_processors:
-            proc.append_token_id(next_token, is_last)
+    n_steps = getattr(plan, "n_steps", 1)
+    step_insts = (plan.step_insts if n_steps > 1 else [plan.seq_insts])
+    sampled = sampled.reshape(n_steps, -1)
+    for s in range(n_steps):
+        for i, (rcb, inst) in enumerate(zip(plan.seq_rcbs, step_insts[s])):
+            if inst is None or not inst.sample:
+                continue
+            next_token = int(sampled[s, i])
+            if inst.sample_dst is not None:
+                # resolve on host too (migration and debugging read this)
+                inst.sample_dst.token_ids = [next_token]
+            if inst.is_chunked:
+                continue
+            # Termination is decided from TOKEN state only: under the async
+            # pipeline the instruction cursor runs ahead of token
+            # postprocessing, so rcb.is_finished() (which also looks at the
+            # cursor) would fire early here — and a request may have surplus
+            # in-flight steps after its terminating token, which must be
+            # dropped.
+            if _tokens_done(rcb):
+                continue
+            rcb.metric.token_times.append(token_time)
+            rcb.output_token_ids.append(next_token)
+            is_last = _tokens_done(rcb)
+            for proc in rcb.output_token_processors:
+                proc.append_token_id(next_token, is_last)
 
 
 class ImageEmbedExecutor:
@@ -256,8 +328,8 @@ class InstructionExecutor:
             ImageEmbedExecutor(image_cache_manager, worker, model_factory)
             if image_cache_manager is not None else None)
 
-    def execute_fill(self, batch: BatchRequest) -> Future:
-        return self.fill_executor.execute(batch)
+    def execute_fill(self, batch: BatchRequest, n_steps: int = 1) -> Future:
+        return self.fill_executor.execute(batch, n_steps=n_steps)
 
     def execute_image_embed(self, batch: BatchRequest) -> Future:
         return self.image_embed_executor.execute(batch)

@@ -51,6 +51,10 @@ class FillBatchPlan:
     seq_insts: List[Fill]
     n_tokens: int
     n_seqs: int
+    # fused multi-step decode window (set by the executor): the device ran
+    # n_steps chained decode steps; step_insts[s] is step s's instruction row
+    n_steps: int = 1
+    step_insts: Optional[List[List[Fill]]] = None
 
     @property
     def max_q(self) -> int:

@@ -274,3 +274,12 @@ class BatchScheduler:
 
     def metrics(self) -> BatchSchedulerMetrics:
         return BatchSchedulerMetrics(self._running_cnt, self._migrating_cnt)
+
+    @property
+    def n_resident(self) -> int:
+        """Resident (admitted, unfinished) request count as of the last
+        schedule() — unlike len(self.running), which EXCLUDES the requests
+        handed out in the current batch (they rejoin via schedule_running
+        after execution), this is the honest load signal for adaptive
+        policies that run while a batch is in flight."""
+        return self._running_cnt

@@ -20,10 +20,16 @@ class WorkerConfig:
 
 
 class Worker:
+    def supports_multi_step(self) -> bool:
+        """Whether execute_language_model accepts n_steps>1 (fused
+        multi-step decode). The executor clamps its window to 1 otherwise."""
+        return False
+
     def execute_vision_model(self, pixel_values, params) -> VisionModelOutput:
         raise NotImplementedError
 
-    def execute_language_model(self, cache, token_table, flat, image_cache, dims):
+    def execute_language_model(self, cache, token_table, flat, image_cache,
+                               dims, n_steps: int = 1, fused_k=None):
         raise NotImplementedError
 
 
@@ -34,10 +40,19 @@ class VanillaWorker(Worker):
         self.language_model: Optional[LanguageModel] = (
             model_factory.getLanguageModel() if config.enable_language else None)
 
+    def supports_multi_step(self) -> bool:
+        return bool(getattr(self.language_model, "supports_multi_step",
+                            False))
+
     def execute_vision_model(self, pixel_values,
                              params: VisionModelParameters) -> VisionModelOutput:
         return self.vision_model.forward(pixel_values, params)
 
-    def execute_language_model(self, cache, token_table, flat, image_cache, dims):
+    def execute_language_model(self, cache, token_table, flat, image_cache,
+                               dims, n_steps: int = 1, fused_k=None):
+        if n_steps > 1:
+            return self.language_model.forward_flat(
+                cache, token_table, flat, image_cache, dims,
+                n_steps=n_steps, fused_k=fused_k)
         return self.language_model.forward_flat(cache, token_table, flat,
                                                 image_cache, dims)

@@ -202,11 +202,14 @@ class APIServer:
 
         parts = [text async for text in stream]
         self.streams.pop(request_id, None)
+        n_prompt = len(self.tokenizer.encode(prompt))
         response = ChatCompletionResponse(
             id=request_id, model=self.config.model_name,
             choices=[ChatCompletionChoice(
                 message=ChatMessage(role="assistant", content="".join(parts)))],
-            usage=UsageInfo(completion_tokens=len(parts)))
+            usage=UsageInfo(prompt_tokens=n_prompt,
+                            completion_tokens=len(parts),
+                            total_tokens=n_prompt + len(parts)))
         return web.json_response(json.loads(response.model_dump_json()))
 
     async def create_completion(self, request: web.Request) -> web.StreamResponse:

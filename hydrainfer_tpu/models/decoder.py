@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 from ..ops.activation import silu_and_mul
 from ..ops.quant import qmatmul, qmatmul_f32
-from ..ops.attention import paged_attention
+from ..ops.attention import PagedAttentionParams, paged_attention
 from ..ops.cache_ops import write_kv_cache
 from ..ops.norm import rms_norm
 from ..ops.rope import apply_rotary_emb
@@ -298,6 +298,101 @@ def decoder_forward(weights: dict, cache: jax.Array, batch: LanguageModelBatch,
     return _last_layer_and_head(
         weights, cache, cache, cfg.n_layers - 1, x, batch, cos, sin,
         cfg, max_q, token_table, return_logits, is_ref, False)
+
+
+def decoder_forward_multi(weights, cache, batch: LanguageModelBatch,
+                          cos_tab: jax.Array, sin_tab: jax.Array,
+                          cfg: DecoderConfig, n_steps: int,
+                          token_table: jax.Array,
+                          fused_k: Optional[jax.Array] = None):
+    """K fused decode steps in ONE device program.
+
+    Every sequence in the batch is a single-token decode whose geometry
+    advances deterministically: position/kv_len/cache-slot all move by
+    exactly 1 per step, and each step's input token is the previous step's
+    sampled token read from the device token table — so the host (and the
+    per-dispatch tunnel round-trip) drops out of the inner loop entirely.
+    This is the TPU equivalent of the reference's captured all-decode CUDA
+    graph replayed K times (reference:
+    hydrainfer/model_runner/cuda_graph_model_runner.py:29-73), except the
+    whole K-step loop is one compiled program.
+
+    fused_k ((S,) int32, defaults to n_steps everywhere) caps each
+    sequence's participation: seq r runs steps 0..fused_k[r]-1; on later
+    steps its geometry freezes at its last real step and BOTH state writes
+    (kv-cache slot, token-table slot) are masked to -1 (dropped), so a
+    request near its token limit rides along in a full-window batch without
+    corrupting any state — the window never collapses to the batch-wide
+    minimum, and n_steps stays a small static set (no per-tail recompiles).
+
+    batch carries step-0 geometry; the block tables must already cover
+    positions[0] + fused_k - 1 per sequence (the executor reallocs ahead).
+    Returns (cache_out | None for refs, token_table, tokens (n_steps, S));
+    rows s >= fused_k[r] of column r are recomputed garbage the host drops.
+    """
+    a = batch.attention
+    if isinstance(cache, (list, tuple)):
+        bs = (cache[0].shape[3])
+        is_ref = isinstance(cache[0], jax.Ref)
+    else:
+        bs = cache.shape[3]
+        is_ref = isinstance(cache, jax.Ref)
+    valid_tok = a.q_seq_ids >= 0                    # (T,)
+    seq_of_tok = jnp.maximum(a.q_seq_ids, 0)
+    valid_seq = a.kv_lens > 0                       # (S,)
+    if fused_k is None:
+        fused_k = jnp.full(a.kv_lens.shape, n_steps, jnp.int32)
+
+    def step_batch(s):
+        s_seq = jnp.minimum(s, jnp.maximum(fused_k - 1, 0))   # (S,) clamp
+        act_seq = s < fused_k                                  # (S,)
+        act_tok = valid_tok & (s < fused_k[seq_of_tok])        # (T,)
+        pos = a.positions + jnp.where(valid_tok, s_seq[seq_of_tok], 0)
+        kv = a.kv_lens + jnp.where(valid_seq, s_seq, 0)
+        blk = a.block_tables[seq_of_tok, pos // bs]  # (T,)
+        slots = jnp.where(act_tok & (blk >= 0), blk * bs + pos % bs, -1)
+        attn = PagedAttentionParams(
+            q_seq_ids=a.q_seq_ids, q_local_ids=a.q_local_ids,
+            positions=pos, kv_lens=kv, block_tables=a.block_tables,
+            new_kv_slot_ids=slots, cu_q_lens=a.cu_q_lens,
+            num_seqs=a.num_seqs)
+        # step 0 takes its input token however the host packed it (table
+        # slot OR a host-resolved literal, e.g. right after migration);
+        # steps 1..K-1 MUST read the previous step's sampled token from the
+        # table — the literal would repeat step 0's input forever
+        chained_src = jnp.where(valid_tok,
+                                batch.sample_dst_slots[seq_of_tok], -1)
+        src = jnp.where(s > 0, chained_src, batch.token_src_slots)
+        dst = jnp.where(act_seq, batch.sample_dst_slots, -1)
+        import dataclasses
+        b = dataclasses.replace(batch, positions=pos, attention=attn,
+                                token_src_slots=src, sample_dst_slots=dst)
+        if getattr(batch, "temperatures", None) is not None \
+                and batch.temperatures.shape[0] > 0:
+            b = dataclasses.replace(b, sample_seed=batch.sample_seed + s)
+        return b
+
+    if is_ref:
+        def body(tt, s):
+            _, tt, tokens = decoder_forward(
+                weights, cache, step_batch(s), cos_tab, sin_tab, cfg,
+                max_q=1, token_table=tt)
+            return tt, tokens
+
+        token_table, toks = jax.lax.scan(
+            body, token_table, jnp.arange(n_steps, dtype=jnp.int32))
+        return None, token_table, toks
+
+    def body(carry, s):
+        c, tt = carry
+        c, tt, tokens = decoder_forward(
+            weights, c, step_batch(s), cos_tab, sin_tab, cfg,
+            max_q=1, token_table=tt)
+        return (c, tt), tokens
+
+    (cache, token_table), toks = jax.lax.scan(
+        body, (cache, token_table), jnp.arange(n_steps, dtype=jnp.int32))
+    return cache, token_table, toks
 
 
 def _last_layer_and_head(weights, cache, last_cache, last_layer_id, x, batch,

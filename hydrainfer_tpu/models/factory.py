@@ -210,6 +210,12 @@ class VisionModel:
 
 
 class LanguageModel:
+    # True when forward_flat accepts n_steps>1 (fused multi-step decode:
+    # K chained decode steps in one device program). Models built on the
+    # shared decoder (models/decoder.py:decoder_forward_multi) set this;
+    # the executor clamps the fused window to 1 otherwise.
+    supports_multi_step: bool = False
+
     def forward(self, cache: jax.Array, token_table: jax.Array,
                 batch: LanguageModelBatch, max_q: int) -> LanguageModelOutput:
         raise NotImplementedError

@@ -77,8 +77,8 @@ class FakeLanguageModel(LanguageModel):
         return LanguageModelOutput(
             sample_token_ids=tokens, cache=cache, token_table=token_table)
 
-    def forward_flat(self, cache, token_table, flat, image_cache, dims
-                     ) -> LanguageModelOutput:
+    def forward_flat(self, cache, token_table, flat, image_cache, dims,
+                     n_steps: int = 1, fused_k=None) -> LanguageModelOutput:
         seed = int(np.asarray(flat[:dims.T]).sum()) % (2 ** 31)
         tokens = np.random.default_rng(seed).integers(
             10, self.cfg.vocab_size, size=(dims.S,), dtype=np.int32)

@@ -126,7 +126,8 @@ class GPT2ForCausalLM(LanguageModel):
             self.weights, cache, batch, max_q=max_q, token_table=token_table)
         return LanguageModelOutput(tokens, cache, token_table)
 
-    def forward_flat(self, cache, token_table, flat, image_cache, dims):
+    def forward_flat(self, cache, token_table, flat, image_cache, dims,
+                     n_steps: int = 1, fused_k=None):
         step = (self._flat_step if isinstance(cache, jax.Ref)
                 else self._flat_step_value)
         cache, token_table, tokens = step(

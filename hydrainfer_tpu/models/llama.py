@@ -11,6 +11,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .decoder import (DecoderConfig, decoder_forward, init_rope_tables,
                       pack_decoder_weights)
@@ -69,6 +70,8 @@ def convert_llama_weights(store: WeightStore, cfg: DecoderConfig,
 
 
 class LlamaForCausalLM(LanguageModel):
+    supports_multi_step = True
+
     def __init__(self, weights: dict, cfg: DecoderConfig,
                  quantization: str = "none", kv_scale=None):
         if kv_scale is not None:
@@ -107,6 +110,28 @@ class LlamaForCausalLM(LanguageModel):
             _flat_fn, static_argnames=("dims",),
             donate_argnames=("cache", "token_table"))
 
+        def _flat_multi_fn(weights, cache, token_table, flat, image_cache,
+                           cos_tab, sin_tab, fused_k, dims, n_steps):
+            from .decoder import decoder_forward_multi
+            from .factory import unpack_fill_batch
+            batch = unpack_fill_batch(flat, image_cache, dims, cfg.hidden_size)
+            c, tt, toks = decoder_forward_multi(
+                weights, cache, batch, cos_tab, sin_tab, cfg, n_steps,
+                token_table=token_table, fused_k=fused_k)
+            # (n_steps, S) -> flat (n_steps*S,) so the engine's batched
+            # token reads concatenate uniformly with single-step outputs
+            return c, tt, toks.reshape(-1)
+
+        # fused K-step decode: one dispatch runs K data-dependent decode
+        # steps (geometry advances on device, tokens flow through the
+        # token table) — amortizes per-step host + dispatch cost
+        self._flat_multi = jax.jit(
+            _flat_multi_fn, static_argnames=("dims", "n_steps"),
+            donate_argnames=("token_table",))
+        self._flat_multi_value = jax.jit(
+            _flat_multi_fn, static_argnames=("dims", "n_steps"),
+            donate_argnames=("cache", "token_table"))
+
     def shard_to(self, mesh) -> None:
         """Tensor-parallel placement: megatron-style NamedShardings on the
         weight pytree (parallel/mesh.py); XLA SPMD inserts the collectives,
@@ -131,14 +156,24 @@ class LlamaForCausalLM(LanguageModel):
 
     def forward_flat(self, cache, token_table: jax.Array,
                      flat: jax.Array, image_cache: jax.Array,
-                     dims) -> LanguageModelOutput:
+                     dims, n_steps: int = 1,
+                     fused_k=None) -> LanguageModelOutput:
         is_ref = isinstance(cache, jax.Ref) or (
             isinstance(cache, (list, tuple)) and len(cache) > 0
             and isinstance(cache[0], jax.Ref))
-        step = self._flat_step if is_ref else self._flat_step_value
-        cache, token_table, tokens = step(
-            self.weights, cache, token_table, flat, image_cache,
-            self.cos_tab, self.sin_tab, dims=dims)
+        if n_steps > 1:
+            if fused_k is None:
+                fused_k = np.full(dims.S, n_steps, np.int32)
+            step = self._flat_multi if is_ref else self._flat_multi_value
+            cache, token_table, tokens = step(
+                self.weights, cache, token_table, flat, image_cache,
+                self.cos_tab, self.sin_tab, jnp.asarray(fused_k),
+                dims=dims, n_steps=n_steps)
+        else:
+            step = self._flat_step if is_ref else self._flat_step_value
+            cache, token_table, tokens = step(
+                self.weights, cache, token_table, flat, image_cache,
+                self.cos_tab, self.sin_tab, dims=dims)
         return LanguageModelOutput(sample_token_ids=tokens, cache=cache,
                                    token_table=token_table)
 

@@ -89,8 +89,15 @@ def dequantize(qt: QuantizedTensor, dtype=jnp.bfloat16) -> jax.Array:
 import os
 
 # opt-in until perf-validated per shape: the custom Pallas fused
-# dequant-matmul streams int8 tiles HBM→VMEM and converts in-kernel
+# dequant-matmul streams int8 tiles HBM→VMEM and converts in-kernel.
+# set_pallas_qmm() flips it programmatically (takes effect at the next jit
+# trace — the A/B harness toggles it between engine builds).
 _USE_PALLAS_QMM = os.environ.get("HYDRAINFER_PALLAS_QMM", "0") == "1"
+
+
+def set_pallas_qmm(enabled: bool) -> None:
+    global _USE_PALLAS_QMM
+    _USE_PALLAS_QMM = enabled
 
 
 def _pick_block(dim: int) -> int:
