@@ -203,12 +203,19 @@ def _write_kv(cache, layer_id, batch, k, v, cfg: DecoderConfig):
 
 def _mlp(h: jax.Array, lw: dict, cfg: DecoderConfig) -> jax.Array:
     if cfg.moe_top_k > 0 and "moe_router" in lw:
-        from ..ops.moe import moe_ffn, route
+        from ..ops.moe import moe_ffn, moe_ffn_ep, route
         weights, idx = route(h @ lw["moe_router"], cfg.moe_top_k,
                              scoring=cfg.moe_scoring,
                              norm_topk=cfg.moe_norm_topk,
                              routed_scaling=cfg.moe_routed_scaling)
-        out = moe_ffn(h, lw["moe_gate_up"], lw["moe_down"], weights, idx)
+        if cfg.mesh is not None and cfg.mesh.shape.get("tp", 1) > 1:
+            # expert parallelism: expert axis sharded over 'tp', combine by
+            # psum (ops/moe.py:moe_ffn_ep) — each chip reads 1/n of the
+            # expert weights per step
+            out = moe_ffn_ep(h, lw["moe_gate_up"], lw["moe_down"], weights,
+                             idx, cfg.mesh, axis="tp")
+        else:
+            out = moe_ffn(h, lw["moe_gate_up"], lw["moe_down"], weights, idx)
         if "gate_up" in lw:  # shared experts alongside the routed ones
             out = out + qmatmul(silu_and_mul(qmatmul(h, lw["gate_up"])), lw["down"])
         return out

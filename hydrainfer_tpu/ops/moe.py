@@ -102,6 +102,48 @@ def moe_ffn(x: jax.Array, gate_up: jax.Array, down: jax.Array,
     return result.astype(x.dtype)
 
 
+def moe_ffn_ep(x: jax.Array, gate_up: jax.Array, down: jax.Array,
+               weights: jax.Array, expert_ids: jax.Array, mesh,
+               axis: str = "tp") -> jax.Array:
+    """Expert-parallel FFN: experts sharded over a mesh axis, tokens
+    replicated.
+
+    The TPU-native expert-parallel layout: each device holds E/n contiguous
+    experts (the leading axis of gate_up/down is sharded); every device
+    masks the routing table down to ITS experts, runs the same sort-based
+    grouped matmul on its shard, and a psum over the axis combines partial
+    token outputs. No all-to-all, no token permutation across chips — the
+    combine is one ICI all-reduce of (T, d), which for decode batches is
+    tiny next to the expert-weight HBM reads the sharding divides by n.
+    (The reference has no expert parallelism at all; its MoE kernels are
+    single-GPU — csrc/kernel/moe/.)
+
+    Non-local (token, expert) pairs keep static shape: they collapse onto
+    local expert 0 with weight 0, so each shard's ragged_dot stays the same
+    shape as the unsharded op.
+    """
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    E = gate_up.shape[0]
+    n_shards = mesh.shape[axis]
+    assert E % n_shards == 0, (E, n_shards)
+    e_local = E // n_shards
+
+    def local_fn(x, gu, dn, w, ids):
+        lo = jax.lax.axis_index(axis) * e_local
+        local = (ids >= lo) & (ids < lo + e_local)
+        w_local = jnp.where(local, w, 0.0)
+        ids_local = jnp.where(local, ids - lo, 0)
+        out = moe_ffn(x, gu, dn, w_local, ids_local)
+        return jax.lax.psum(out, axis)
+
+    return shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(P(), P(axis), P(axis), P(), P()),
+        out_specs=P(), check_vma=False)(x, gate_up, down, weights, expert_ids)
+
+
 def moe_ffn_dense(x: jax.Array, gate_up: jax.Array, down: jax.Array,
                   weights: jax.Array, expert_ids: jax.Array) -> jax.Array:
     """Oracle: run every expert on every token, mask-combine. O(T*E)."""

@@ -37,7 +37,10 @@ def make_mesh(n_devices: Optional[int] = None,
     return Mesh(arr, axis_names)
 
 
-# PartitionSpecs per decoder-layer weight name (None axis = replicated)
+# PartitionSpecs per decoder-layer weight name (None axis = replicated).
+# MoE expert stacks shard their EXPERT axis over 'tp' (expert parallelism:
+# ops/moe.py:moe_ffn_ep combines shards with a psum); the router stays
+# replicated — routing is (T, E), trivial next to expert weights.
 DECODER_WEIGHT_RULES = {
     "qkv_proj": P(None, "tp"),
     "qkv_bias": P("tp"),
@@ -46,6 +49,10 @@ DECODER_WEIGHT_RULES = {
     "down": P("tp", None),
     "input_norm": P(None),
     "post_norm": P(None),
+    "moe_router": P(None, None),
+    "moe_router_bias": P(None),
+    "moe_gate_up": P("tp", None, None),
+    "moe_down": P("tp", None, None),
 }
 
 
