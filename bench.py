@@ -121,6 +121,11 @@ def run_bench(arch: str, n_requests: int, prompt_len: int, max_tokens: int,
             "p50_ttft_s": round(ttfts[len(ttfts) // 2], 4),
             "p50_tbt_s": round(float(np.median(tbts)), 5) if tbts else None,
             "p90_token_gap_s": round(float(np.percentile(gaps, 90)), 5),
+            # with batched/fused delivery most gaps are ~0 inside a burst,
+            # so p90 dilutes; p99/max expose the true inter-burst stall a
+            # per-token SLO checker would see
+            "p99_token_gap_s": round(float(np.percentile(gaps, 99)), 5),
+            "max_token_gap_s": round(float(np.max(gaps)), 5),
             "image_ratio": image_ratio,
             "platform": jax.devices()[0].platform,
         },

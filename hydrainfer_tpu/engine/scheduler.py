@@ -113,14 +113,28 @@ class BatchScheduler:
         self._stamp_queue_end(rcb)
 
     def _demand_blocks(self, rcb: RequestControlBlock) -> int:
-        """Worst-case KV blocks for the request's full lifetime."""
+        """Worst-case KV blocks for the request's full lifetime, minus the
+        prefix-cache blocks already resident for its prompt (those are
+        shared, not newly allocated — reserving for them would refuse
+        admission the pool can serve under exactly the warm-prefix workload
+        prefix caching targets). The match is advisory (blocks could be
+        evicted before allocation); the scheduler's deferral back-pressure
+        remains the safety net."""
         if self.kv_cache_manager is None:
             return 0
         n_prompt = (rcb.request_metadata.n_prompt_tokens
                     if rcb.request_metadata else 0)
         n_tokens = n_prompt + (rcb.sampling_params.max_tokens
                                if rcb.sampling_params else 0)
-        return -(-n_tokens // self.kv_cache_manager.block_size)
+        need = -(-n_tokens // self.kv_cache_manager.block_size)
+        inst = rcb.current_instruction()
+        hashes = getattr(inst, "hashes", None)
+        if hashes:
+            for bid in self.kv_cache_manager.shared_cache.match(hashes):
+                if bid == -1:
+                    break
+                need -= 1
+        return max(need, 0)
 
     def _try_reserve(self, rcb: RequestControlBlock) -> bool:
         if self.kv_cache_manager is None:

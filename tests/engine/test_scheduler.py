@@ -130,3 +130,39 @@ def test_oversized_request_rejected():
     batch = sched.step()
     assert len(batch) == 0
     assert done == [(-1, True)]
+
+
+def test_reservation_discounts_prefix_hits():
+    """Admission reservations must not double-count prompt blocks already
+    resident in the prefix cache: a warm-prefix request reserves only its
+    unmatched tail, so concurrent prefix-sharing requests fit a pool their
+    worst cases would overflow."""
+    # pool 10 blocks: A reserves 6; B's worst case is 5 (refused cold:
+    # 6+5 > 10) but its fully-warm 4-block prompt discounts to 1 (admitted)
+    sched, kv = make_scheduler(max_running=8, n_blocks=10)
+    # warm the prefix cache: 4 registered blocks (16 prompt tokens)
+    hashes = [101, 102, 103, 104]
+    vc = kv.allocate_virtual_cache()
+    kv.realloc(vc, 16)
+    kv.set_blocks(vc, [0, 1, 2, 3], hashes)
+
+    a = make_rcb(20)                     # 20+4 tokens -> 6 blocks reserved
+    sched.schedule_new(a)
+    assert len(sched.step()) == 1
+
+    b = make_rcb(16, max_tokens=4)
+    b.instructions.head.next.hashes = hashes    # fully warm prompt -> 1
+    sched.schedule_new(b)
+    batch = sched.step()
+    assert len(batch) == 1 and batch[0][0] is b
+    assert len(sched.waiting) == 0
+
+    # the same request with a COLD prompt is refused
+    sched2, kv2 = make_scheduler(max_running=8, n_blocks=10)
+    a2 = make_rcb(20)
+    sched2.schedule_new(a2)
+    assert len(sched2.step()) == 1
+    c = make_rcb(16, max_tokens=4)
+    sched2.schedule_new(c)
+    assert len(sched2.step()) == 0
+    assert len(sched2.waiting) == 1
