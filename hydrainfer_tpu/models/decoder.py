@@ -444,6 +444,18 @@ def _last_layer_and_head(weights, cache, last_cache, last_layer_id, x, batch,
     h = rms_norm(x, lw["post_norm"], cfg.rms_norm_eps)
     x = x + _mlp(h, lw, cfg)
 
+    token_table, tokens, logits = _final_head(weights, x, batch, cfg,
+                                              token_table)
+    cache_out = None if is_ref else cache
+    if return_logits:
+        return cache_out, token_table, tokens, logits
+    return cache_out, token_table, tokens
+
+
+def _final_head(weights, x, batch, cfg: DecoderConfig, token_table):
+    """Final norm → lm_head on the sampled rows → greedy/stochastic token →
+    token-table scatter. Shared by the layer-loop forwards and the pipeline-
+    parallel forward (parallel/pipeline.py)."""
     h = rms_norm(x, weights["norm"], cfg.rms_norm_eps)
     logits = qmatmul_f32(h, weights["lm_head"])
     tokens = jnp.argmax(logits, axis=-1).astype(jnp.int32)
@@ -462,7 +474,4 @@ def _last_layer_and_head(weights, cache, last_cache, last_layer_id, x, batch,
     dst = batch.sample_dst_slots
     dst = jnp.where(dst < 0, token_table.shape[0], dst)  # OOB positive drops
     token_table = token_table.at[dst].set(tokens, mode="drop")
-    cache_out = None if is_ref else cache
-    if return_logits:
-        return cache_out, token_table, tokens, logits
-    return cache_out, token_table, tokens
+    return token_table, tokens, logits

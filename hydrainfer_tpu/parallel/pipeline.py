@@ -1,0 +1,158 @@
+"""Pipeline parallelism: layer stages over a 'pp' mesh axis.
+
+The reference exposes a pp_size config knob but never implements pipeline
+parallelism (reference: hydrainfer/cluster/cluster.py parallel config — knob
+only, no stage runtime). Here PP is functional at the model level, the
+TPU-native way: the layer stack is split into P contiguous stages, each
+stage's weights AND its layers' KV-cache pages live on one device of the
+'pp' mesh axis, and one shard_map program relays activations stage-to-stage
+with `lax.ppermute` over the ICI ring. Each device runs only its own
+stage's compute (a `lax.cond` on `axis_index('pp')` keeps off-turn devices
+idle rather than computing garbage), so HBM holds 1/P of the weights and
+1/P of the KV pool per chip — the memory-capacity use case PP exists for.
+
+Utilization note: one program relays a single batch through P stages, so a
+single in-flight batch keeps 1/P of the machine busy (the classic pipeline
+bubble with M=1 microbatches). Filling the bubble is a scheduling concern —
+the engine's async dispatch pipeline can keep P independent batches in
+flight — not a model-forward concern; the forward is bubble-agnostic.
+
+Composition: PP shards the LAYER axis; it composes with the 'tp' head/
+expert shardings only at the GSPMD level (not wired here — v1 is pp × dp).
+"""
+import functools
+from typing import List
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.decoder import (DecoderConfig, _final_head, _layer_body)
+from ..models.factory import LanguageModelBatch
+
+
+def pp_pack_weights(weights: dict, pp: int) -> dict:
+    """Checkpoint layout {"layers": [L per-layer dicts], embed, norm,
+    lm_head} → {"stages": stacked (P, L/P, ...) pytrees, embed, norm,
+    lm_head}. All L layers must share one weight signature (uniform
+    decoders; MoE mixed-signature stacks are not PP-v1 material)."""
+    layers = weights["layers"]
+    L = len(layers)
+    assert L % pp == 0, f"{L} layers not divisible into {pp} stages"
+    sig = tuple(sorted(k for k, v in layers[0].items() if v is not None))
+    for lw in layers:
+        assert tuple(sorted(k for k, v in lw.items() if v is not None)) == sig, \
+            "pipeline stages need a uniform layer signature"
+    keys = [k for k in sig]
+    stages = {
+        k: jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs).reshape((pp, L // pp) + xs[0].shape),
+            *[lw[k] for lw in layers])
+        for k in keys}
+    return {"embed": weights["embed"], "norm": weights["norm"],
+            "lm_head": weights["lm_head"], "stages": stages}
+
+
+def pp_shard(weights_pp: dict, cache, mesh: Mesh):
+    """Place stage stacks and the stage-stacked cache on the 'pp' axis;
+    embed/norm/lm_head replicated. cache: (L, n_tensors, nb, bs, h, d) →
+    (P, L/P, ...) with the stage axis sharded."""
+    rep = NamedSharding(mesh, P())
+
+    def stage_put(x):
+        return jax.device_put(
+            x, NamedSharding(mesh, P(*(("pp",) + (None,) * (x.ndim - 1)))))
+
+    out = {
+        "embed": jax.device_put(weights_pp["embed"], rep),
+        "norm": jax.device_put(weights_pp["norm"], rep),
+        "lm_head": jax.device_put(weights_pp["lm_head"], rep),
+        "stages": jax.tree_util.tree_map(stage_put, weights_pp["stages"]),
+    }
+    pp = jax.tree_util.tree_leaves(weights_pp["stages"])[0].shape[0]
+    L = cache.shape[0]
+    cache_pp = cache.reshape((pp, L // pp) + cache.shape[1:])
+    return out, stage_put(cache_pp)
+
+
+def decoder_forward_pp(weights_pp: dict, cache_pp: jax.Array,
+                       batch: LanguageModelBatch, cos_tab, sin_tab,
+                       cfg: DecoderConfig, max_q: int, token_table: jax.Array,
+                       mesh: Mesh):
+    """One fill step through the stage pipeline. Returns
+    (cache_pp, token_table, tokens) — value-mode cache (stage-sharded).
+
+    Differences vs decoder_forward: the last layer runs inside its stage
+    like any other (no token-discard before its MLP — the discard is a
+    FLOP nicety, not a correctness requirement); the final norm + lm_head
+    run replicated on every device after the relay."""
+    pp = mesh.shape["pp"]
+    from jax import shard_map
+
+    cos = jnp.take(cos_tab, batch.positions, axis=0)
+    sin = jnp.take(sin_tab, batch.positions, axis=0)
+    # stage-local attention must not re-enter the tp shard_map path
+    import dataclasses
+    cfg_local = dataclasses.replace(cfg, mesh=None)
+
+    def local(stages, cache, batch, tt, embed, norm, lm_head, cos, sin):
+        # leading stage axis arrives sliced to 1 on each device
+        stages = jax.tree_util.tree_map(lambda x: x[0], stages)
+        cache = cache[0]                           # (L/P, nt, nb, bs, h, d)
+        sid = jax.lax.axis_index("pp")
+
+        token_ids = batch.token_ids
+        src = batch.token_src_slots
+        token_ids = jnp.where(
+            src >= 0, jnp.take(tt, jnp.maximum(src, 0), axis=0), token_ids)
+        x = jnp.take(embed, token_ids, axis=0)
+        if batch.image_features is not None and batch.image_features.shape[0]:
+            dst = jnp.where(batch.image_dst_idx < 0, x.shape[0],
+                            batch.image_dst_idx)
+            x = x.at[dst].set(batch.image_features.astype(x.dtype),
+                              mode="drop")
+
+        Lp = cache.shape[0]
+        layer_ids = jnp.arange(Lp, dtype=jnp.int32)
+
+        def run_stage(x, cache):
+            def scan_step(carry, inp):
+                x, c = carry
+                lid, lw = inp
+                x, c = _layer_body(x, c, lid, lw, batch, cos, sin,
+                                   cfg_local, max_q)
+                return (x, c), None
+            (x, cache), _ = jax.lax.scan(scan_step, (x, cache),
+                                         (layer_ids, stages))
+            return x, cache
+
+        for s in range(pp):
+            # only the on-turn stage computes; everyone else idles the tick
+            x, cache = jax.lax.cond(
+                sid == s, run_stage, lambda x, c: (x, c), x, cache)
+            x = jax.lax.ppermute(
+                x, "pp", [(i, (i + 1) % pp) for i in range(pp)])
+        # after P relays the final activations have wrapped to device 0;
+        # broadcast them so the (replicated) head runs everywhere
+        x = jax.lax.psum(jnp.where(sid == 0, x, jnp.zeros_like(x)), "pp")
+
+        sample_idx = jnp.maximum(batch.sample_token_idx, 0)
+        x = jnp.take(x, sample_idx, axis=0)
+        head_w = {"norm": norm, "lm_head": lm_head}
+        tt, tokens, _ = _final_head(head_w, x, batch, cfg_local, tt)
+        return cache[None], tt, tokens
+
+    rep = jax.tree_util.tree_map(lambda _: P(), batch)
+    stage_specs = jax.tree_util.tree_map(
+        lambda x: P(*(("pp",) + (None,) * (x.ndim - 1))),
+        weights_pp["stages"])
+    cache_spec = P(*(("pp",) + (None,) * (cache_pp.ndim - 1)))
+    out = shard_map(
+        local, mesh=mesh,
+        in_specs=(stage_specs, cache_spec, rep, P(), P(), P(), P(), P(), P()),
+        out_specs=(cache_spec, P(), P()),
+        check_vma=False,
+    )(weights_pp["stages"], cache_pp, batch, token_table,
+      weights_pp["embed"], weights_pp["norm"], weights_pp["lm_head"],
+      cos, sin)
+    return out

@@ -1,0 +1,146 @@
+"""Pipeline parallelism: the stage-relay forward over a 'pp' mesh must
+match the single-device decoder token-for-token (mixed prefill+decode
+batch, value-mode cache), and the stage-sharded cache must receive exactly
+the same KV writes."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from hydrainfer_tpu.models.decoder import (DecoderConfig, decoder_forward,
+                                           init_rope_tables,
+                                           pack_decoder_weights)
+from hydrainfer_tpu.models.factory import LanguageModelBatch
+from hydrainfer_tpu.models.random_init import init_decoder_weights
+from hydrainfer_tpu.ops.attention import PagedAttentionParams
+from hydrainfer_tpu.parallel.mesh import make_mesh
+from hydrainfer_tpu.parallel.pipeline import (decoder_forward_pp,
+                                              pp_pack_weights, pp_shard)
+
+BLOCK = 4
+N_BLOCKS = 32
+
+
+def make_cfg(n_layers=4):
+    return DecoderConfig(
+        n_layers=n_layers, hidden_size=64, intermediate_size=128,
+        n_qo_heads=4, n_kv_heads=2, head_dim=16, vocab_size=256,
+        max_position_embeddings=64)
+
+
+def make_batch(T=8, S=2):
+    q_seq_ids = np.array([0] * 6 + [1] * 2, np.int32)
+    positions = np.array([0, 1, 2, 3, 4, 5, 4, 5], np.int32)
+    kv_lens = np.array([6, 6], np.int32)
+    tables = np.full((S, 4), -1, np.int32)
+    tables[0, :2] = [0, 1]
+    tables[1, :2] = [2, 3]
+    slots = tables[q_seq_ids, positions // BLOCK] * BLOCK + positions % BLOCK
+    return LanguageModelBatch(
+        token_ids=jnp.asarray(np.arange(T, dtype=np.int32) + 5),
+        positions=jnp.asarray(positions),
+        image_features=jnp.zeros((0, 64), jnp.float32),
+        image_dst_idx=jnp.zeros((0,), jnp.int32),
+        attention=PagedAttentionParams(
+            q_seq_ids=jnp.asarray(q_seq_ids),
+            q_local_ids=jnp.asarray(np.array([0, 1, 2, 3, 4, 5, 0, 1], np.int32)),
+            positions=jnp.asarray(positions),
+            kv_lens=jnp.asarray(kv_lens),
+            block_tables=jnp.asarray(tables),
+            new_kv_slot_ids=jnp.asarray(slots.astype(np.int32)),
+            cu_q_lens=jnp.asarray(np.array([0, 6, 8], np.int32)),
+            num_seqs=jnp.asarray(np.array([S], np.int32))),
+        sample_token_idx=jnp.asarray(np.array([5, 7], np.int32)),
+        token_src_slots=jnp.full((T,), -1, jnp.int32),
+        sample_dst_slots=jnp.asarray(np.array([0, 1], np.int32)))
+
+
+def test_pp_forward_matches_single_device():
+    cfg = make_cfg(n_layers=4)
+    raw = init_decoder_weights(cfg, jax.random.PRNGKey(0), jnp.float32)
+    cos, sin = init_rope_tables(cfg)
+    batch = make_batch()
+    cache = jnp.zeros((cfg.n_layers, 1, N_BLOCKS, BLOCK,
+                       2 * cfg.n_kv_heads, cfg.head_dim), jnp.float32)
+    table = jnp.zeros((8,), jnp.int32)
+
+    cache_ref, table_ref, tok_ref = decoder_forward(
+        pack_decoder_weights(raw), cache, batch, cos, sin, cfg, max_q=8,
+        token_table=table)
+
+    mesh = make_mesh(8, axis_names=("dp", "pp"), shape=(2, 4))
+    w_pp, cache_pp = pp_shard(pp_pack_weights(raw, pp=4), cache, mesh)
+    step = jax.jit(decoder_forward_pp,
+                   static_argnames=("cfg", "max_q", "mesh"))
+    cache_pp_out, table_pp, tok_pp = step(
+        w_pp, cache_pp, batch, cos, sin, cfg, max_q=8, token_table=table,
+        mesh=mesh)
+
+    assert np.array_equal(np.asarray(tok_ref), np.asarray(tok_pp))
+    assert np.array_equal(np.asarray(table_ref), np.asarray(table_pp))
+    got = np.asarray(cache_pp_out).reshape(np.asarray(cache_ref).shape)
+    np.testing.assert_allclose(got, np.asarray(cache_ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_pp_decode_feedback_two_steps():
+    """Step 2 reads step 1's sampled token from the device token table
+    through the pipeline (async-decode feedback under PP)."""
+    cfg = make_cfg(n_layers=4)
+    raw = init_decoder_weights(cfg, jax.random.PRNGKey(1), jnp.float32)
+    cos, sin = init_rope_tables(cfg)
+    cache = jnp.zeros((cfg.n_layers, 1, N_BLOCKS, BLOCK,
+                       2 * cfg.n_kv_heads, cfg.head_dim), jnp.float32)
+    table = jnp.zeros((8,), jnp.int32)
+    mesh = make_mesh(8, axis_names=("dp", "pp"), shape=(2, 4))
+    w_pp, cache_pp = pp_shard(pp_pack_weights(raw, pp=4), cache, mesh)
+    w_single = pack_decoder_weights(raw)
+
+    batch1 = make_batch()
+
+    def decode_batch():
+        T, S = 8, 2
+        q_seq_ids = np.array([0, 1] + [-1] * 6, np.int32)
+        positions = np.array([6, 6, 0, 0, 0, 0, 0, 0], np.int32)
+        kv_lens = np.array([7, 7], np.int32)
+        tables = np.full((S, 4), -1, np.int32)
+        tables[0, :2] = [0, 1]
+        tables[1, :2] = [2, 3]
+        slots = np.full(T, -1, np.int32)
+        for t in range(2):
+            slots[t] = tables[t, positions[t] // BLOCK] * BLOCK \
+                + positions[t] % BLOCK
+        return LanguageModelBatch(
+            token_ids=jnp.zeros((T,), jnp.int32),
+            positions=jnp.asarray(positions),
+            image_features=jnp.zeros((0, 64), jnp.float32),
+            image_dst_idx=jnp.zeros((0,), jnp.int32),
+            attention=PagedAttentionParams(
+                q_seq_ids=jnp.asarray(q_seq_ids),
+                q_local_ids=jnp.zeros((T,), jnp.int32),
+                positions=jnp.asarray(positions),
+                kv_lens=jnp.asarray(kv_lens),
+                block_tables=jnp.asarray(tables),
+                new_kv_slot_ids=jnp.asarray(slots),
+                cu_q_lens=jnp.asarray(np.array([0, 1, 2, 2, 2, 2, 2, 2, 2], np.int32)),
+                num_seqs=jnp.asarray(np.array([S], np.int32))),
+            sample_token_idx=jnp.asarray(np.array([0, 1], np.int32)),
+            token_src_slots=jnp.asarray(
+                np.array([0, 1] + [-1] * 6, np.int32)),
+            sample_dst_slots=jnp.asarray(np.array([0, 1], np.int32)))
+
+    batch2 = decode_batch()
+
+    c, t, tok1 = decoder_forward(w_single, cache, batch1, cos, sin, cfg,
+                                 max_q=8, token_table=table)
+    _, _, tok2 = decoder_forward(w_single, c, batch2, cos, sin, cfg,
+                                 max_q=1, token_table=t)
+
+    step = jax.jit(decoder_forward_pp,
+                   static_argnames=("cfg", "max_q", "mesh"))
+    cpp, tpp, ptok1 = step(w_pp, cache_pp, batch1, cos, sin, cfg, max_q=8,
+                           token_table=table, mesh=mesh)
+    _, _, ptok2 = step(w_pp, cpp, batch2, cos, sin, cfg, max_q=1,
+                       token_table=tpp, mesh=mesh)
+
+    assert np.array_equal(np.asarray(tok1), np.asarray(ptok1))
+    assert np.array_equal(np.asarray(tok2), np.asarray(ptok2))
