@@ -155,12 +155,22 @@ def main():
                     choices=["scan", "unroll"],
                     help="scan over stacked weights vs unrolled per-layer "
                          "loop with per-layer cache buffers")
+    ap.add_argument("--trace-dir", default="",
+                    help="capture a jax.profiler trace (xplane/perfetto) of "
+                         "the measured run into this directory")
     args = ap.parse_args()
-    result = run_bench(args.arch, args.n_requests, args.prompt_len,
-                       args.max_tokens, args.token_budget, args.quant,
-                       kv_int8=args.kv_int8, image_ratio=args.image_ratio,
-                       kv_blocks=args.kv_blocks, kv_ref=not args.no_kv_ref,
-                       attn_impl=args.attn_impl, layer_loop=args.layer_loop)
+    if args.trace_dir:
+        jax.profiler.start_trace(args.trace_dir)
+    try:
+        result = run_bench(args.arch, args.n_requests, args.prompt_len,
+                           args.max_tokens, args.token_budget, args.quant,
+                           kv_int8=args.kv_int8, image_ratio=args.image_ratio,
+                           kv_blocks=args.kv_blocks, kv_ref=not args.no_kv_ref,
+                           attn_impl=args.attn_impl,
+                           layer_loop=args.layer_loop)
+    finally:
+        if args.trace_dir:
+            jax.profiler.stop_trace()
     print(json.dumps(result))
 
 
