@@ -106,6 +106,11 @@ class FillExecutor:
                                                 self.kv.dtype if self.kv
                                                 else jnp.bfloat16)
         self._free_slots = list(range(token_table_size - 1, -1, -1))
+        # high-water marks for the S / MB jit-key dims (see
+        # params_builder.build): once a batch shape has been compiled, no
+        # smaller batch or narrower block table triggers a new compile
+        self._s_highwater = 1
+        self._mb_highwater = 1
 
     def acquire_slot(self, rcb) -> None:
         if rcb.token_slot < 0:
@@ -197,7 +202,10 @@ class FillExecutor:
         builder = LanguageModelBatchBuilder(
             self.kv, self.image, self.language_config, self.image_token_id)
         builder.add_batch(batch)
-        plan = builder.build()
+        plan = builder.build(s_floor=self._s_highwater,
+                             mb_floor=self._mb_highwater)
+        self._s_highwater = max(self._s_highwater, plan.dims.S)
+        self._mb_highwater = max(self._mb_highwater, plan.dims.MB)
 
         fused_k = None
         if n_steps > 1:

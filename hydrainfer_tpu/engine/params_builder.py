@@ -107,7 +107,16 @@ class LanguageModelBatchBuilder:
             if isinstance(inst, Fill):
                 self.add(rcb, inst)
 
-    def build(self) -> FillBatchPlan:
+    def build(self, s_floor: int = 1, mb_floor: int = 1) -> FillBatchPlan:
+        """s_floor/mb_floor: HIGH-WATER floors for the S and MB jit-key
+        dims (supplied by the executor). Without them, per-request context
+        growth walks MB through every power of two and batch drain walks S
+        back down the buckets — each transition a fresh ~30s compile on the
+        TPU tunnel. Decode is weight-read-bound, so padding seq rows and
+        block-table width is nearly free on device; pinning both to their
+        session high-water marks makes the compile set converge instead of
+        churning. T stays bucketed: padding prefill tokens wastes real
+        MXU work."""
         n_seqs = len(self.seq_rcbs)
         sampling = any(
             (rcb.sampling_params is not None
@@ -115,8 +124,8 @@ class LanguageModelBatchBuilder:
             for rcb in self.seq_rcbs)
         dims = FillDims(
             T=bucket_of(self._n_tokens, TOKEN_BUCKETS),
-            S=bucket_of(n_seqs, SEQ_BUCKETS),
-            MB=_next_pow2(self._max_blocks),
+            S=max(bucket_of(n_seqs, SEQ_BUCKETS), _next_pow2(s_floor)),
+            MB=max(_next_pow2(self._max_blocks), _next_pow2(mb_floor)),
             Ti=(bucket_of(len(self.image_slot_ids), TOKEN_BUCKETS)
                 if self.image_slot_ids else 0),
             max_q=_next_pow2(self._max_q),

@@ -92,3 +92,32 @@ def test_multi_step_eos_mid_window():
     ref = run_engine(1, ignore_eos=False)
     got = run_engine(4, ignore_eos=False)
     assert got == ref
+
+
+def test_dims_highwater_no_recompile_churn():
+    """After the engine has seen its largest batch, smaller/narrower
+    batches must reuse the SAME FillDims (jit key) — batch drain and
+    context growth must not walk new compile buckets."""
+    from hydrainfer_tpu.engine import executor as ex
+    dims_seen = []
+    orig = ex.FillExecutor.execute
+
+    def spy(self, batch, n_steps=1):
+        fut = orig(self, batch, n_steps=n_steps)
+        if getattr(fut, "plan", None) is not None:
+            dims_seen.append(fut.plan.dims)
+        return fut
+
+    ex.FillExecutor.execute = spy
+    try:
+        run_engine(4)
+    finally:
+        ex.FillExecutor.execute = orig
+    decode_dims = [d for d in dims_seen if d.max_q == 1]
+    assert decode_dims, "no decode steps observed"
+    # S and MB are monotone non-decreasing (high-water), so the tail of the
+    # run (drain: fewer live requests, longer contexts) adds no new keys
+    for a, b in zip(decode_dims, decode_dims[1:]):
+        assert b.S >= a.S and b.MB >= a.MB
+    assert len({(d.T, d.S, d.MB, d.max_q, d.sampling)
+                for d in decode_dims[len(decode_dims) // 2:]}) <= 2
