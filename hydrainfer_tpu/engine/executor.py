@@ -162,11 +162,19 @@ class FillExecutor:
             if (not isinstance(inst, Fill) or len(inst.position_ids) != 1
                     or not inst.sample or inst.is_chunked):
                 return 1, None
+            # count consecutive decode Fills whose rope position AND cache
+            # slot both advance by exactly 1 (the device advances both
+            # streams itself; an absolute pos/cache OFFSET is fine — under
+            # M-RoPE image runs compress rope positions below cache ids)
             k, node = 0, rcb.instructions.curr
+            prev_p = inst.position_ids[0] - 1
+            prev_c = inst.cache_ids[0] - 1
             while (k < n_steps and isinstance(node, Fill)
                    and len(node.position_ids) == 1 and node.sample
                    and not node.is_chunked
-                   and node.position_ids == node.cache_ids):
+                   and node.position_ids[0] == prev_p + 1
+                   and node.cache_ids[0] == prev_c + 1):
+                prev_p, prev_c = node.position_ids[0], node.cache_ids[0]
                 k += 1
                 node = node.next
             ks.append(k)

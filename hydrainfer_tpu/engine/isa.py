@@ -54,6 +54,9 @@ class Fill(Instruction):
         self.sample_dst = sample_dst
         self.hashes = hashes
         self.is_chunked = False
+        # multimodal-RoPE h/w position streams ([h_list, w_list]); None =
+        # all axes equal to position_ids (text tokens / non-mrope models)
+        self.mrope_hw = None
 
     def n_tokens(self) -> int:
         return len(self.token_ids)
@@ -75,6 +78,9 @@ class TextFill(Fill):
             hashes=self.hashes,
         )
         self.insert_next(rest)
+        if self.mrope_hw is not None:
+            rest.mrope_hw = [a[chunk_size:] for a in self.mrope_hw]
+            self.mrope_hw = [a[:chunk_size] for a in self.mrope_hw]
         self.token_ids = self.token_ids[:chunk_size]
         self.position_ids = self.position_ids[:chunk_size]
         self.cache_ids = self.cache_ids[:chunk_size]
@@ -117,6 +123,9 @@ class ImageEmbedFill(Fill):
             hashes=self.hashes,
         )
         self.insert_next(rest)
+        if self.mrope_hw is not None:
+            rest.mrope_hw = [a[chunk_size:] for a in self.mrope_hw]
+            self.mrope_hw = [a[:chunk_size] for a in self.mrope_hw]
         self.image_token_cache_ids = self.image_token_cache_ids[:n_img_in_chunk]
         self.image_token_mask = self.image_token_mask[:chunk_size]
         self.token_ids = self.token_ids[:chunk_size]

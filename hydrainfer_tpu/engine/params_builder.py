@@ -83,6 +83,9 @@ class LanguageModelBatchBuilder:
         self._max_q = 1
         self._max_blocks = 1
         self._contiguous = True
+        self._mrope = bool(getattr(language_config, "mrope_section", ()))
+        self._pos_h: List[int] = []
+        self._pos_w: List[int] = []
 
     def add(self, rcb: RequestControlBlock, inst: Fill) -> None:
         n = len(inst.position_ids)
@@ -95,6 +98,10 @@ class LanguageModelBatchBuilder:
                 for i, is_img in enumerate(inst.image_token_mask) if is_img)
         self.seq_rcbs.append(rcb)
         self.seq_insts.append(inst)
+        if self._mrope:
+            hw = inst.mrope_hw or [inst.position_ids, inst.position_ids]
+            self._pos_h.extend(hw[0])
+            self._pos_w.extend(hw[1])
         self._n_tokens += n
         self._max_q = max(self._max_q, n)
         self._max_blocks = max(self._max_blocks,
@@ -129,11 +136,17 @@ class LanguageModelBatchBuilder:
             Ti=(bucket_of(len(self.image_slot_ids), TOKEN_BUCKETS)
                 if self.image_slot_ids else 0),
             max_q=_next_pow2(self._max_q),
-            sampling=sampling)
+            sampling=sampling,
+            mrope=self._mrope)
         if hostops is not None and self._contiguous:
             flat = self._build_native(dims)
         else:
             flat = self._build_python(dims)
+        if self._mrope:
+            hw = np.zeros((2, dims.T), np.int32)
+            hw[0, :len(self._pos_h)] = self._pos_h
+            hw[1, :len(self._pos_w)] = self._pos_w
+            flat = np.concatenate([flat, hw.reshape(-1)])
         if sampling:
             flat = np.concatenate([flat, self._sampling_tail(dims)])
         return FillBatchPlan(flat=flat, dims=dims, seq_rcbs=self.seq_rcbs,

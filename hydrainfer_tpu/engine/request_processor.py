@@ -64,6 +64,7 @@ class RequestProcessor:
         self.image_token_id = vision_cfg.image_token_id
         self.image_token_calculator = vision_cfg.image_token_calculator
         self.eos_token_id = language_cfg.eos_token_id
+        self.mrope_on = bool(getattr(language_cfg, "mrope_section", ()))
         self.scenario_classifier = ScenarioClassifier()
         self.observers: List[RequestProcessorObserver] = []
         self._pool = (ThreadPoolExecutor(config.num_request_process_workers)
@@ -174,7 +175,18 @@ class RequestProcessor:
             n_image_tokens=n_image_tokens)
 
         image_mask = [t == self.image_token_id for t in token_ids]
-        positions = list(range(n_prompt + request.sampling_params.max_tokens))
+        mrope_hw = None
+        if self.mrope_on:
+            # M-RoPE (HF get_rope_index equivalent): text advances all three
+            # axes together; an image's merged grid occupies t/h/w ladders
+            # from one start and the stream resumes at start + max(grid) —
+            # rope positions COMPRESS relative to cache ids after images
+            pt, ph, pw, st = self._mrope_positions(token_ids, images_size)
+            positions = pt + list(range(
+                st, st + request.sampling_params.max_tokens))
+            mrope_hw = [ph, pw]
+        else:
+            positions = list(range(n_prompt + request.sampling_params.max_tokens))
 
         builder = InstructionListBuilder()
         if pixel_values is not None:
@@ -193,14 +205,15 @@ class RequestProcessor:
                 image_token_mask=image_mask,
                 token_ids=token_ids,
                 position_ids=positions[:n_prompt],
-                cache_ids=positions[:n_prompt],
+                cache_ids=list(range(n_prompt)),
                 sample=True, sample_dst=None, hashes=hashes)
         else:
             prefill = TextFill(
                 token_ids=token_ids,
                 position_ids=positions[:n_prompt],
-                cache_ids=positions[:n_prompt],
+                cache_ids=list(range(n_prompt)),
                 sample=True, sample_dst=None, hashes=hashes)
+        prefill.mrope_hw = mrope_hw
         builder.append(prefill)
         if self.config.emit_pd_migrate:
             builder.append(PDMigrate())
@@ -210,12 +223,41 @@ class RequestProcessor:
         last = prefill
         for i in range(n_prompt, n_prompt + request.sampling_params.max_tokens - 1):
             # -1 placeholder: resolved on device via the token table, and on
-            # host (late) by the producer step's postprocess
+            # host (late) by the producer step's postprocess. cache id = i
+            # (the physical slot); rope position may lag it under M-RoPE
             decode = TextFill(token_ids=[-1], position_ids=[positions[i]],
-                              cache_ids=[positions[i]], sample=True,
+                              cache_ids=[i], sample=True,
                               sample_dst=None, hashes=None)
             builder.append(decode)
             last.sample_dst = decode
             last = decode
 
         rcb.instructions = builder.build()
+
+    def _mrope_positions(self, token_ids: List[int], images_size: List[tuple]):
+        """Per-token (t, h, w) rope positions over the EXPANDED prompt, plus
+        the first decode position (HF Qwen2VL get_rope_index semantics)."""
+        pos_t: List[int] = []
+        pos_h: List[int] = []
+        pos_w: List[int] = []
+        st, img, i = 0, 0, 0
+        while i < len(token_ids):
+            if token_ids[i] == self.image_token_id:
+                grid = self.image_token_calculator.get_image_grid(
+                    images_size[img])
+                t, gh, gw = grid
+                for ti in range(t):
+                    for hi in range(gh):
+                        pos_t.extend([st + ti] * gw)
+                        pos_h.extend([st + hi] * gw)
+                        pos_w.extend(range(st, st + gw))
+                st += max(t, gh, gw)
+                img += 1
+                i += t * gh * gw
+            else:
+                pos_t.append(st)
+                pos_h.append(st)
+                pos_w.append(st)
+                st += 1
+                i += 1
+        return pos_t, pos_h, pos_w, st

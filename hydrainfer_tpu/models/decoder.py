@@ -62,6 +62,10 @@ class DecoderConfig:
     # static scale on write and dequantized inside the attention kernel
     # (ragged kernel k_scale/v_scale path). None = cache in model dtype.
     kv_scale: float = None
+    # multimodal RoPE (Qwen2-VL): per-axis frequency sections (t, h, w)
+    # summing to head_dim/2; () = standard 1D rope. See ops/rope.py:
+    # mrope_gather (HF-exact; the reference has no M-RoPE at all).
+    mrope_section: tuple = ()
     # sparse MoE MLP (0 = dense): layers carry moe_router/moe_gate_up/moe_down
     moe_top_k: int = 0
     n_experts: int = 0
@@ -255,8 +259,14 @@ def decoder_forward(weights: dict, cache: jax.Array, batch: LanguageModelBatch,
         x = input_embeds
 
     # per-token rope tables, gathered once for all layers
-    cos = jnp.take(cos_tab, batch.positions, axis=0)
-    sin = jnp.take(sin_tab, batch.positions, axis=0)
+    if cfg.mrope_section and getattr(batch, "positions_hw", None) is not None:
+        from ..ops.rope import mrope_gather
+        cos, sin = mrope_gather(cos_tab, sin_tab, batch.positions,
+                                batch.positions_hw[0], batch.positions_hw[1],
+                                cfg.mrope_section)
+    else:
+        cos = jnp.take(cos_tab, batch.positions, axis=0)
+        sin = jnp.take(sin_tab, batch.positions, axis=0)
 
     per_layer = "layers_list" in weights
     if per_layer:
@@ -356,8 +366,13 @@ def decoder_forward_multi(weights, cache, batch: LanguageModelBatch,
         act_tok = valid_tok & (s < fused_k[seq_of_tok])        # (T,)
         pos = a.positions + jnp.where(valid_tok, s_seq[seq_of_tok], 0)
         kv = a.kv_lens + jnp.where(valid_seq, s_seq, 0)
-        blk = a.block_tables[seq_of_tok, pos // bs]  # (T,)
-        slots = jnp.where(act_tok & (blk >= 0), blk * bs + pos % bs, -1)
+        # the write slot comes from the CACHE position (kv_len - 1), not
+        # the rope position — under M-RoPE image runs compress rope
+        # positions, so pos and cache index differ by a per-request offset
+        cache_pos = jnp.maximum(kv[seq_of_tok] - 1, 0)
+        blk = a.block_tables[seq_of_tok, cache_pos // bs]  # (T,)
+        slots = jnp.where(act_tok & (blk >= 0),
+                          blk * bs + cache_pos % bs, -1)
         attn = PagedAttentionParams(
             q_seq_ids=a.q_seq_ids, q_local_ids=a.q_local_ids,
             positions=pos, kv_lens=kv, block_tables=a.block_tables,
@@ -374,6 +389,11 @@ def decoder_forward_multi(weights, cache, batch: LanguageModelBatch,
         import dataclasses
         b = dataclasses.replace(batch, positions=pos, attention=attn,
                                 token_src_slots=src, sample_dst_slots=dst)
+        if getattr(batch, "positions_hw", None) is not None:
+            # decode advances all three mrope axes together
+            hw = batch.positions_hw + jnp.where(valid_tok,
+                                                s_seq[seq_of_tok], 0)[None, :]
+            b = dataclasses.replace(b, positions_hw=hw)
         if getattr(batch, "temperatures", None) is not None \
                 and batch.temperatures.shape[0] > 0:
             b = dataclasses.replace(b, sample_seed=batch.sample_seed + s)

@@ -29,6 +29,11 @@ class ImageTokenCalculator:
     def get_num_image_tokens(self, image_size: Tuple[int, int]) -> int:
         raise NotImplementedError
 
+    def get_image_grid(self, image_size: Tuple[int, int]):
+        """Merged-token grid (t, h, w) for M-RoPE position assignment;
+        None for models whose rope is 1D."""
+        return None
+
 
 @dataclass
 class VisionModelConfig:
@@ -47,6 +52,9 @@ class LanguageModelConfig:
     eos_token_id: int
     hidden_size: int = 0
     vocab_size: int = 0
+    # multimodal RoPE sections (t, h, w) — non-empty enables the per-batch
+    # h/w position streams end to end (Qwen2-VL M-RoPE)
+    mrope_section: tuple = ()
 
 
 @dataclass
@@ -94,6 +102,8 @@ class LanguageModelBatch:
     top_ks: jax.Array = None
     top_ps: jax.Array = None
     sample_seed: jax.Array = None
+    # (2, T) h/w position streams for multimodal RoPE (None = 1D rope)
+    positions_hw: jax.Array = None
 
 
 @dataclass
@@ -114,6 +124,9 @@ class FillDims:
     # True when any sequence samples stochastically (temperature > 0): the
     # step then runs the full logits pipeline instead of bare argmax
     sampling: bool = False
+    # True when the batch carries h/w position streams for multimodal RoPE
+    # (Qwen2-VL M-RoPE): the flat buffer gains a 2*T tail after the core
+    mrope: bool = False
 
 
 def pack_fill_batch(token_ids, positions, q_seq_ids, q_local_ids,
@@ -162,6 +175,11 @@ def unpack_fill_batch(flat: jax.Array, image_cache: jax.Array,
 
     image_slot_ids = take(Ti)
     image_dst_idx = take(Ti)
+    # mrope tail: h/w position streams (the t stream IS `positions`)
+    if dims.mrope:
+        positions_hw = take(2 * T).reshape(2, T)
+    else:
+        positions_hw = None
     # sampling tail (appended after the core buffer by the builder)
     if dims.sampling:
         temperatures = jax.lax.bitcast_convert_type(take(S), jnp.float32)
@@ -200,6 +218,7 @@ def unpack_fill_batch(flat: jax.Array, image_cache: jax.Array,
         top_ks=top_ks,
         top_ps=top_ps,
         sample_seed=sample_seed,
+        positions_hw=positions_hw,
     )
 
 

@@ -1,10 +1,12 @@
-"""Qwen2-VL: ViT with 2D vision RoPE + patch merger, Qwen2 LM.
+"""Qwen2-VL: ViT with 2D vision RoPE + patch merger, Qwen2 LM with M-RoPE.
 
 From-scratch functional equivalent of the reference's Qwen2-VL
 (reference: hydrainfer/model/qwen2_vl.py:41-190 vision tower with 2D rope
-and varlen attention over the patch grid, patch merger; :230-238 LM reusing
-standard 1D RoPE — like the reference we do NOT replicate HF's M-RoPE, so
-multimodal logits differ from HF while text-only logits match exactly).
+and varlen attention over the patch grid, patch merger), going BEYOND it on
+the LM side: the reference reuses standard 1D RoPE (:230-238) so its
+multimodal logits diverge from HF; here the LM runs HF-exact M-RoPE
+(ops/rope.py:mrope_gather + 3-axis position streams end to end through the
+engine), multimodal generation token-exact vs HF.
 
 The vision tower runs as one jitted function over flat patches
 (n_patches, temporal*3*patch²) with per-patch 2D rope tables and
@@ -84,6 +86,14 @@ class Qwen2VLImageTokenCalculator(ImageTokenCalculator):
                             factor=self.patch_size * self.merge_size)
         return (h // self.patch_size) * (w // self.patch_size) \
             // (self.merge_size ** 2)
+
+    def get_image_grid(self, image_size: Tuple[int, int]):
+        """Merged-token (t, h, w) grid for M-RoPE position ladders (the
+        merger emits tokens in merged-grid row-major order)."""
+        h, w = smart_resize(image_size[0], image_size[1],
+                            factor=self.patch_size * self.merge_size)
+        return (1, h // self.patch_size // self.merge_size,
+                w // self.patch_size // self.merge_size)
 
 
 def vision_rope_tables(grids: List[Tuple[int, int, int]],
@@ -264,6 +274,13 @@ class Qwen2VLModelFactory(ModelFactory):
         text_cfg["model_type"] = "qwen2"
         self.decoder_cfg = decoder_config_from_hf(
             text_cfg, config.attention_impl, layer_loop=config.layer_loop)
+        # M-RoPE: HF stores the (t, h, w) frequency sections in rope_scaling
+        rs = self.hf_cfg.get("rope_scaling") or {}
+        self.mrope_section = tuple(rs.get("mrope_section", ()))
+        if self.mrope_section:
+            import dataclasses
+            self.decoder_cfg = dataclasses.replace(
+                self.decoder_cfg, mrope_section=self.mrope_section)
         self._store = None
         self._lm = None
         self._vm = None
@@ -309,7 +326,8 @@ class Qwen2VLModelFactory(ModelFactory):
             n_layers=c.n_layers, max_position_embeddings=c.max_position_embeddings,
             n_qo_heads=c.n_qo_heads, n_kv_heads=c.n_kv_heads, head_dim=c.head_dim,
             eos_token_id=self.hf_cfg.get("eos_token_id", 151645),
-            hidden_size=c.hidden_size, vocab_size=c.vocab_size)
+            hidden_size=c.hidden_size, vocab_size=c.vocab_size,
+            mrope_section=self.mrope_section)
 
     def getProcessor(self) -> Qwen2VLImageProcessorAdapter:
         return Qwen2VLImageProcessorAdapter(self.vision_cfg)

@@ -110,8 +110,15 @@ def paged_attention_jnp(q: jax.Array, cache: jax.Array, layer_id,
     q_pad = jnp.zeros((S, max_q, H, D), dtype=q.dtype)
     seq_ids = jnp.where(params.q_seq_ids < 0, S, params.q_seq_ids)
     q_pad = q_pad.at[seq_ids, params.q_local_ids].set(q, mode="drop")
+    # causal masking runs over CACHE positions (kv_len - q_len + local id),
+    # not rope positions — under M-RoPE image tokens share rope positions
+    # while occupying distinct cache slots
+    q_lens = params.cu_q_lens[1:] - params.cu_q_lens[:-1]          # (S,)
+    cache_pos = (jnp.take(params.kv_lens - q_lens,
+                          jnp.maximum(params.q_seq_ids, 0), axis=0)
+                 + params.q_local_ids)
     pos_pad = jnp.zeros((S, max_q), dtype=jnp.int32)
-    pos_pad = pos_pad.at[seq_ids, params.q_local_ids].set(params.positions, mode="drop")
+    pos_pad = pos_pad.at[seq_ids, params.q_local_ids].set(cache_pos, mode="drop")
 
     qf = q_pad.astype(jnp.float32) * sm_scale
     kf = k.astype(jnp.float32)

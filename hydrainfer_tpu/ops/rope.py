@@ -47,6 +47,35 @@ def apply_rotary_emb(x: jax.Array, cos: jax.Array, sin: jax.Array,
     return jnp.concatenate([rotated.astype(x.dtype), x_pass], axis=-1)
 
 
+def mrope_gather(cos_tab: jax.Array, sin_tab: jax.Array,
+                 pos_t: jax.Array, pos_h: jax.Array, pos_w: jax.Array,
+                 section: Tuple[int, ...]):
+    """Multimodal RoPE (Qwen2-VL): three position streams share one
+    frequency table; frequency dim d takes its angle from stream
+    section_id(d), with sections [s_t, s_h, s_w] summing to rotary_dim/2
+    (HF Qwen2VLRotaryEmbedding's mrope_section). Text tokens carry equal
+    t/h/w positions, so this degenerates to standard 1D RoPE for them.
+    Neither the reference nor its vendored model implements M-RoPE
+    (reference: hydrainfer/model/qwen2_vl.py:230-238 — plain 1D rope);
+    this matches HF exactly, image prompts included.
+
+    Returns per-token (cos, sin) of shape (T, rotary_dim/2) ready for
+    apply_rotary_emb."""
+    assert len(section) == 3, section
+    sec_id = jnp.asarray(
+        sum(([i] * s for i, s in enumerate(section)), []), jnp.int32)
+    cos3 = jnp.stack([jnp.take(cos_tab, pos_t, axis=0),
+                      jnp.take(cos_tab, pos_h, axis=0),
+                      jnp.take(cos_tab, pos_w, axis=0)])   # (3, T, rd/2)
+    sin3 = jnp.stack([jnp.take(sin_tab, pos_t, axis=0),
+                      jnp.take(sin_tab, pos_h, axis=0),
+                      jnp.take(sin_tab, pos_w, axis=0)])
+    sel = sec_id[None, None, :] == jnp.arange(3)[:, None, None]
+    cos = jnp.sum(jnp.where(sel, cos3, 0.0), axis=0)
+    sin = jnp.sum(jnp.where(sel, sin3, 0.0), axis=0)
+    return cos, sin
+
+
 class RotaryEmbedding:
     """Precomputed cos/sin table indexed by absolute position."""
 

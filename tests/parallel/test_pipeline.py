@@ -121,7 +121,7 @@ def test_pp_decode_feedback_two_steps():
                 kv_lens=jnp.asarray(kv_lens),
                 block_tables=jnp.asarray(tables),
                 new_kv_slot_ids=jnp.asarray(slots),
-                cu_q_lens=jnp.asarray(np.array([0, 1, 2, 2, 2, 2, 2, 2, 2], np.int32)),
+                cu_q_lens=jnp.asarray(np.array([0, 1, 2], np.int32)),
                 num_seqs=jnp.asarray(np.array([S], np.int32))),
             sample_token_idx=jnp.asarray(np.array([0, 1], np.int32)),
             token_src_slots=jnp.asarray(
