@@ -64,6 +64,10 @@ class ClusterConfig:
     # tensor-parallel degree per node: each node owns tp_size devices and
     # shards its LM weights + kv-head axis over them (GSPMD)
     tp_size: int = 1
+    # pipeline-parallel degree per node: each node owns pp_size devices and
+    # shards its LAYER axis over them (stage relay, parallel/pipeline.py).
+    # Mutually exclusive with tp_size > 1 (pp x tp composition is v2).
+    pp_size: int = 1
     # deployment shape: "inprocess" = asyncio actors in this process;
     # "process" = one OS process per node over the ZMQ RPC plane (the
     # reference's actor-per-device shape, reference: cluster.py:123-141)
@@ -109,7 +113,10 @@ class Cluster(RequestObserver):
         self.config = config
         devices = devices if devices is not None else jax.devices()
         tp = max(1, config.tp_size)
-        n_groups = max(1, len(devices) // tp)
+        pp = max(1, config.pp_size)
+        assert tp == 1 or pp == 1, "pp_size x tp_size composition is v2"
+        group_n = tp * pp
+        n_groups = max(1, len(devices) // group_n)
         specs = config.nodes or resolve_cluster_topology(
             config.cluster_type, n_groups)
 
@@ -124,13 +131,13 @@ class Cluster(RequestObserver):
                 idx = name_counts.get(spec.node_type, 0)
                 name_counts[spec.node_type] = idx + 1
                 name = f"{spec.node_type.lower()}{idx}"
-                group = [devices[(dev_idx * tp + i) % len(devices)]
-                         for i in range(tp)]
-                device = group if tp > 1 else group[0]
+                group = [devices[(dev_idx * group_n + i) % len(devices)]
+                         for i in range(group_n)]
+                device = group if group_n > 1 else group[0]
                 dev_idx += 1
                 node = AsyncEPDNode(spec_node_config(config.node, spec), NodeContext(
                     name=name, node_type=NodeType(spec.node_type),
-                    device=device))
+                    device=device, parallel=("pp" if pp > 1 else "tp")))
                 node.spec = spec
                 self.nodes.append(node)
 

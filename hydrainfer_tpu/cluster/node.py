@@ -107,9 +107,11 @@ class NodeConfig:
 class NodeContext:
     name: str = "node0"
     node_type: NodeType = field(default_factory=NodeType)
-    # one jax.Device, or a LIST of devices → the node forms a tensor-parallel
-    # mesh over them (weights + kv-head axis sharded, GSPMD collectives)
+    # one jax.Device, or a LIST of devices → the node forms a parallel mesh
+    # over them: "tp" (weights + kv-head axis sharded, GSPMD collectives)
+    # or "pp" (layer stages, ppermute relay — parallel/pipeline.py)
     device: Optional[object] = None
+    parallel: str = "tp"
     migrate_graph: Optional[MigrateGraph] = None
 
 
@@ -147,7 +149,9 @@ class AsyncEPDNode:
         if isinstance(dev, (list, tuple)):
             if len(dev) > 1:
                 from ..parallel.mesh import make_mesh
-                self.mesh = make_mesh(axis_names=("dp", "tp"),
+                axis = context.parallel
+                assert axis in ("tp", "pp"), axis
+                self.mesh = make_mesh(axis_names=("dp", axis),
                                       shape=(1, len(dev)), devices=list(dev))
             dev = dev[0]
         self.device = dev
@@ -236,7 +240,11 @@ class AsyncEPDNode:
         # layer loop (the two must agree; detect from the built model so
         # externally-supplied factories are honored)
         lm_cfg = getattr(getattr(self.worker, "language_model", None), "cfg", None)
-        unrolled = getattr(lm_cfg, "layer_loop", "scan") == "unroll"
+        # pp shards the STACKED layer axis of one cache array, so it
+        # overrides the unroll layout's per-layer buffer list
+        unrolled = (getattr(lm_cfg, "layer_loop", "scan") == "unroll"
+                    and not (self.mesh is not None
+                             and self.context.parallel == "pp"))
         kv_cfg = TokenCacheBlockManagerConfig(
             n_layers=lc.n_layers, n_tensors=1,
             n_blocks=max(self.config.n_kv_blocks, 1),
@@ -290,15 +298,25 @@ class AsyncEPDNode:
         self.image_cache_manager = (TokenCacheBlockManager(img_cfg, self.device, self.name)
                                     if nt.has_image_cache else None)
         if self.mesh is not None:
-            from ..parallel.mesh import shard_kv_cache
-            if self.kv_cache_manager is not None:
-                self.kv_cache_manager.cache_array = shard_kv_cache(
-                    self.kv_cache_manager.cache_array, self.mesh)
             lm = getattr(self.worker, "language_model", None)
-            if lm is not None and hasattr(lm, "shard_to"):
-                lm.shard_to(self.mesh)
-                logger.info(f"{self.name} tensor-parallel over "
-                            f"{self.mesh.devices.size} devices")
+            if self.context.parallel == "pp":
+                from ..parallel.pipeline import pp_shard_cache
+                if self.kv_cache_manager is not None:
+                    self.kv_cache_manager.cache_array = pp_shard_cache(
+                        self.kv_cache_manager.cache_array, self.mesh)
+                if lm is not None and hasattr(lm, "shard_to_pp"):
+                    lm.shard_to_pp(self.mesh)
+                    logger.info(f"{self.name} pipeline-parallel over "
+                                f"{self.mesh.devices.size} stages")
+            else:
+                from ..parallel.mesh import shard_kv_cache
+                if self.kv_cache_manager is not None:
+                    self.kv_cache_manager.cache_array = shard_kv_cache(
+                        self.kv_cache_manager.cache_array, self.mesh)
+                if lm is not None and hasattr(lm, "shard_to"):
+                    lm.shard_to(self.mesh)
+                    logger.info(f"{self.name} tensor-parallel over "
+                                f"{self.mesh.devices.size} devices")
 
     def update_migrate_graph(self, graph: MigrateGraph) -> None:
         self.context.migrate_graph = graph

@@ -23,8 +23,9 @@ logger = getLogger(__name__)
 class OfflineEngine:
     def __init__(self, config: NodeConfig,
                  model_factory: Optional[ModelFactory] = None,
-                 node_type: str = "EPD"):
-        context = NodeContext(name="offline0", node_type=NodeType(node_type))
+                 node_type: str = "EPD", devices=None, parallel: str = "tp"):
+        context = NodeContext(name="offline0", node_type=NodeType(node_type),
+                              device=devices, parallel=parallel)
         self.node = AsyncEPDNode(config, context)
         self.node.init(model_factory)
         builder = MigrateGraphBuilder()

@@ -146,6 +146,40 @@ class LlamaForCausalLM(LanguageModel):
         self.cfg = dataclasses.replace(self.cfg, mesh=mesh)
         self._build_steps()
 
+    def shard_to_pp(self, mesh) -> None:
+        """Pipeline-parallel placement: the layer axis of the weight stacks
+        (and, separately, of the paged KV cache) shards over the mesh's
+        'pp' axis; forward_flat routes through the stage-relay program
+        (parallel/pipeline.py:decoder_forward_pp). Requires the unroll
+        layer layout (per-layer dicts) to rebuild the uniform stage stack."""
+        assert "layers_list" in self.weights, \
+            "pipeline parallelism needs layer_loop='unroll'"
+        from ..parallel.mesh import replicate
+        from ..parallel.pipeline import (decoder_forward_pp, pp_pack_weights,
+                                         pp_shard_weights)
+        cfg = self.cfg
+        layers = list(self.weights["layers_list"]) + [self.weights["last_layer"]]
+        raw = {"layers": layers, "embed": self.weights["embed"],
+               "norm": self.weights["norm"],
+               "lm_head": self.weights["lm_head"]}
+        self._pp_weights = pp_shard_weights(
+            pp_pack_weights(raw, mesh.shape["pp"]), mesh)
+        self._pp_mesh = mesh
+        self.cos_tab, self.sin_tab = replicate((self.cos_tab, self.sin_tab),
+                                               mesh)
+        # the fused multi-step window is not built for the relay program
+        self.supports_multi_step = False
+
+        def _flat_pp_fn(w, cache, token_table, flat, image_cache,
+                        cos_tab, sin_tab, dims):
+            from .factory import unpack_fill_batch
+            batch = unpack_fill_batch(flat, image_cache, dims, cfg.hidden_size)
+            return decoder_forward_pp(w, cache, batch, cos_tab, sin_tab,
+                                      cfg, dims.max_q, token_table, mesh)
+
+        self._flat_pp = jax.jit(_flat_pp_fn, static_argnames=("dims",),
+                                donate_argnames=("cache", "token_table"))
+
     def forward(self, cache: jax.Array, token_table: jax.Array,
                 batch: LanguageModelBatch, max_q: int) -> LanguageModelOutput:
         cache, token_table, tokens = self._step(
@@ -158,6 +192,12 @@ class LlamaForCausalLM(LanguageModel):
                      flat: jax.Array, image_cache: jax.Array,
                      dims, n_steps: int = 1,
                      fused_k=None) -> LanguageModelOutput:
+        if getattr(self, "_pp_mesh", None) is not None:
+            cache, token_table, tokens = self._flat_pp(
+                self._pp_weights, cache, token_table, flat, image_cache,
+                self.cos_tab, self.sin_tab, dims=dims)
+            return LanguageModelOutput(sample_token_ids=tokens, cache=cache,
+                                       token_table=token_table)
         is_ref = isinstance(cache, jax.Ref) or (
             isinstance(cache, (list, tuple)) and len(cache) > 0
             and isinstance(cache[0], jax.Ref))

@@ -2,14 +2,14 @@
 
 The reference exposes a pp_size config knob but never implements pipeline
 parallelism (reference: hydrainfer/cluster/cluster.py parallel config — knob
-only, no stage runtime). Here PP is functional at the model level, the
-TPU-native way: the layer stack is split into P contiguous stages, each
-stage's weights AND its layers' KV-cache pages live on one device of the
-'pp' mesh axis, and one shard_map program relays activations stage-to-stage
-with `lax.ppermute` over the ICI ring. Each device runs only its own
-stage's compute (a `lax.cond` on `axis_index('pp')` keeps off-turn devices
-idle rather than computing garbage), so HBM holds 1/P of the weights and
-1/P of the KV pool per chip — the memory-capacity use case PP exists for.
+only, no stage runtime). Here PP runs in the serving path, the TPU-native
+way: the per-layer weight stacks and the paged KV cache shard their LAYER
+axis over the 'pp' mesh axis (each chip holds L/P contiguous layers' weights
+and pages — the memory-capacity use case PP exists for), and one shard_map
+program relays activations stage-to-stage with `lax.ppermute` over the ICI
+ring. Each device runs only its own stage's compute (a `lax.cond` on
+`axis_index('pp')` keeps off-turn devices idle rather than computing
+garbage).
 
 Utilization note: one program relays a single batch through P stages, so a
 single in-flight batch keeps 1/P of the machine busy (the classic pipeline
@@ -17,10 +17,8 @@ bubble with M=1 microbatches). Filling the bubble is a scheduling concern —
 the engine's async dispatch pipeline can keep P independent batches in
 flight — not a model-forward concern; the forward is bubble-agnostic.
 
-Composition: PP shards the LAYER axis; it composes with the 'tp' head/
-expert shardings only at the GSPMD level (not wired here — v1 is pp × dp).
+Composition: PP shards the LAYER axis; v1 is pp × dp (no tp inside stages).
 """
-import functools
 from typing import List
 
 import jax
@@ -33,9 +31,9 @@ from ..models.factory import LanguageModelBatch
 
 def pp_pack_weights(weights: dict, pp: int) -> dict:
     """Checkpoint layout {"layers": [L per-layer dicts], embed, norm,
-    lm_head} → {"stages": stacked (P, L/P, ...) pytrees, embed, norm,
-    lm_head}. All L layers must share one weight signature (uniform
-    decoders; MoE mixed-signature stacks are not PP-v1 material)."""
+    lm_head} → {"stack": {key: (L, ...) stacked}, embed, norm, lm_head}.
+    All L layers must share one weight signature (uniform decoders; MoE
+    mixed-signature stacks are not PP-v1 material)."""
     layers = weights["layers"]
     L = len(layers)
     assert L % pp == 0, f"{L} layers not divisible into {pp} stages"
@@ -43,44 +41,47 @@ def pp_pack_weights(weights: dict, pp: int) -> dict:
     for lw in layers:
         assert tuple(sorted(k for k, v in lw.items() if v is not None)) == sig, \
             "pipeline stages need a uniform layer signature"
-    keys = [k for k in sig]
-    stages = {
-        k: jax.tree_util.tree_map(
-            lambda *xs: jnp.stack(xs).reshape((pp, L // pp) + xs[0].shape),
-            *[lw[k] for lw in layers])
-        for k in keys}
+    stack = {
+        k: jax.tree_util.tree_map(lambda *xs: jnp.stack(xs),
+                                  *[lw[k] for lw in layers])
+        for k in sig}
     return {"embed": weights["embed"], "norm": weights["norm"],
-            "lm_head": weights["lm_head"], "stages": stages}
+            "lm_head": weights["lm_head"], "stack": stack}
 
 
-def pp_shard(weights_pp: dict, cache, mesh: Mesh):
-    """Place stage stacks and the stage-stacked cache on the 'pp' axis;
-    embed/norm/lm_head replicated. cache: (L, n_tensors, nb, bs, h, d) →
-    (P, L/P, ...) with the stage axis sharded."""
+def _layer_axis_spec(x):
+    return P(*(("pp",) + (None,) * (x.ndim - 1)))
+
+
+def pp_shard_weights(weights_pp: dict, mesh: Mesh) -> dict:
+    """Layer stacks sharded on 'pp' (stage s holds its L/P layer slices);
+    embed/norm/lm_head replicated."""
     rep = NamedSharding(mesh, P())
 
     def stage_put(x):
-        return jax.device_put(
-            x, NamedSharding(mesh, P(*(("pp",) + (None,) * (x.ndim - 1)))))
+        return jax.device_put(x, NamedSharding(mesh, _layer_axis_spec(x)))
 
-    out = {
+    return {
         "embed": jax.device_put(weights_pp["embed"], rep),
         "norm": jax.device_put(weights_pp["norm"], rep),
         "lm_head": jax.device_put(weights_pp["lm_head"], rep),
-        "stages": jax.tree_util.tree_map(stage_put, weights_pp["stages"]),
+        "stack": jax.tree_util.tree_map(stage_put, weights_pp["stack"]),
     }
-    pp = jax.tree_util.tree_leaves(weights_pp["stages"])[0].shape[0]
-    L = cache.shape[0]
-    cache_pp = cache.reshape((pp, L // pp) + cache.shape[1:])
-    return out, stage_put(cache_pp)
 
 
-def decoder_forward_pp(weights_pp: dict, cache_pp: jax.Array,
+def pp_shard_cache(cache: jax.Array, mesh: Mesh) -> jax.Array:
+    """(L, n_tensors, nb, bs, h, d) paged cache with the layer axis sharded
+    over 'pp' — each stage physically holds only its own layers' pages."""
+    return jax.device_put(
+        cache, NamedSharding(mesh, _layer_axis_spec(cache)))
+
+
+def decoder_forward_pp(weights_pp: dict, cache: jax.Array,
                        batch: LanguageModelBatch, cos_tab, sin_tab,
                        cfg: DecoderConfig, max_q: int, token_table: jax.Array,
                        mesh: Mesh):
     """One fill step through the stage pipeline. Returns
-    (cache_pp, token_table, tokens) — value-mode cache (stage-sharded).
+    (cache, token_table, tokens) — value-mode cache (layer-sharded).
 
     Differences vs decoder_forward: the last layer runs inside its stage
     like any other (no token-discard before its MLP — the discard is a
@@ -95,11 +96,8 @@ def decoder_forward_pp(weights_pp: dict, cache_pp: jax.Array,
     import dataclasses
     cfg_local = dataclasses.replace(cfg, mesh=None)
 
-    def local(stages, cache, batch, tt, embed, norm, lm_head, cos, sin):
-        # leading stage axis arrives sliced to 1 on each device
-        stages = jax.tree_util.tree_map(lambda x: x[0], stages)
-        cache = cache[0]                           # (L/P, nt, nb, bs, h, d)
-        sid = jax.lax.axis_index("pp")
+    def local(stack, cache, batch, tt, embed, norm, lm_head, cos, sin):
+        sid = jax.lax.axis_index("pp")          # stack/cache: (L/P, ...)
 
         token_ids = batch.token_ids
         src = batch.token_src_slots
@@ -123,7 +121,7 @@ def decoder_forward_pp(weights_pp: dict, cache_pp: jax.Array,
                                    cfg_local, max_q)
                 return (x, c), None
             (x, cache), _ = jax.lax.scan(scan_step, (x, cache),
-                                         (layer_ids, stages))
+                                         (layer_ids, stack))
             return x, cache
 
         for s in range(pp):
@@ -140,19 +138,23 @@ def decoder_forward_pp(weights_pp: dict, cache_pp: jax.Array,
         x = jnp.take(x, sample_idx, axis=0)
         head_w = {"norm": norm, "lm_head": lm_head}
         tt, tokens, _ = _final_head(head_w, x, batch, cfg_local, tt)
-        return cache[None], tt, tokens
+        return cache, tt, tokens
 
     rep = jax.tree_util.tree_map(lambda _: P(), batch)
-    stage_specs = jax.tree_util.tree_map(
-        lambda x: P(*(("pp",) + (None,) * (x.ndim - 1))),
-        weights_pp["stages"])
-    cache_spec = P(*(("pp",) + (None,) * (cache_pp.ndim - 1)))
+    stack_specs = jax.tree_util.tree_map(_layer_axis_spec,
+                                         weights_pp["stack"])
+    cache_spec = _layer_axis_spec(cache)
     out = shard_map(
         local, mesh=mesh,
-        in_specs=(stage_specs, cache_spec, rep, P(), P(), P(), P(), P(), P()),
+        in_specs=(stack_specs, cache_spec, rep, P(), P(), P(), P(), P(), P()),
         out_specs=(cache_spec, P(), P()),
         check_vma=False,
-    )(weights_pp["stages"], cache_pp, batch, token_table,
+    )(weights_pp["stack"], cache, batch, token_table,
       weights_pp["embed"], weights_pp["norm"], weights_pp["lm_head"],
       cos, sin)
     return out
+
+
+# backward-compatible alias used by tests/dryrun that shard in one call
+def pp_shard(weights_pp: dict, cache, mesh: Mesh):
+    return pp_shard_weights(weights_pp, mesh), pp_shard_cache(cache, mesh)

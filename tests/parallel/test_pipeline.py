@@ -144,3 +144,38 @@ def test_pp_decode_feedback_two_steps():
 
     assert np.array_equal(np.asarray(tok1), np.asarray(ptok1))
     assert np.array_equal(np.asarray(tok2), np.asarray(ptok2))
+
+
+def test_pp_engine_matches_single_device():
+    """Serving-path pipeline parallelism: an OfflineEngine whose node owns
+    4 devices on the 'pp' axis (layer-sharded weights + KV pages, stage
+    relay forward) must emit exactly the single-device engine's tokens."""
+    from hydrainfer_tpu.cluster.node import NodeConfig
+    from hydrainfer_tpu.engine.request_processor import RequestProcessorConfig
+    from hydrainfer_tpu.engine.scheduler import BatchSchedulerConfig
+    from hydrainfer_tpu.entrypoint.offline import OfflineEngine
+    from hydrainfer_tpu.models.random_init import RandomWeightFactory
+    from hydrainfer_tpu.request import Request, SamplingParameters
+
+    def run(devices=None, parallel="tp"):
+        factory = RandomWeightFactory("tiny-lm", layer_loop="unroll")
+        cfg = NodeConfig(
+            batch_scheduler=BatchSchedulerConfig(max_running_requests=4),
+            request_processor=RequestProcessorConfig(
+                num_request_process_workers=1, block_size=4),
+            kv_block_size=4, n_kv_blocks=128, n_image_blocks=1)
+        cfg.model.dtype = "fp32"
+        engine = OfflineEngine(cfg, model_factory=factory, node_type="PD",
+                               devices=devices, parallel=parallel)
+        prompts = ["the quick brown fox", "a", "hello world test"]
+        reqs = [Request(request_id=f"r{i}", prompt=p,
+                        sampling_params=SamplingParameters(max_tokens=8,
+                                                           ignore_eos=True))
+                for i, p in enumerate(prompts)]
+        outs = engine.generate(reqs, timeout_s=600)
+        return [o.output_token_ids for o in outs]
+
+    single = run()
+    pp = run(devices=jax.devices()[:2], parallel="pp")  # tiny-lm: 2 layers
+    assert [len(t) for t in single] == [8, 8, 8]
+    assert pp == single
