@@ -114,8 +114,10 @@ def main():
             tt, toks = jax.lax.scan(body, token_table, None, length=k)
             return tt, toks
 
+        # warm with the SAME k: k is a static argname, so a different value
+        # would recompile inside the timed region
         token_table, toks = run_k(lm.weights, cache, batch, lm.cos_tab,
-                                  lm.sin_tab, token_table, k=4)   # compile
+                                  lm.sin_tab, token_table, k=args.steps)
         toks.block_until_ready()
         t0 = time.perf_counter()
         token_table, toks = run_k(lm.weights, cache, batch, lm.cos_tab,

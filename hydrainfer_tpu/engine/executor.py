@@ -28,7 +28,7 @@ from ..memory import TokenCacheBlockManager
 from ..models.factory import (ModelFactory, VisionModelParameters)
 from ..ops.cache_ops import write_token_cache
 from ..utils.logger import getLogger
-from .isa import Fill, ImageEmbed
+from .isa import Fill, ImageEmbed, ImageEmbedFill
 from .params_builder import (LanguageModelBatchBuilder, bucket_of,
                              TOKEN_BUCKETS)
 from .rcb import BatchRequest
@@ -159,7 +159,11 @@ class FillExecutor:
             return 1, None
         ks = []
         for rcb, inst in batch:
-            if (not isinstance(inst, Fill) or len(inst.position_ids) != 1
+            # ImageEmbedFill is excluded even at one token: the fused scan
+            # re-splices its image features into EVERY step's embeddings,
+            # corrupting steps 1..K-1
+            if (not isinstance(inst, Fill) or isinstance(inst, ImageEmbedFill)
+                    or len(inst.position_ids) != 1
                     or not inst.sample or inst.is_chunked):
                 return 1, None
             # count consecutive decode Fills whose rope position AND cache
@@ -170,6 +174,7 @@ class FillExecutor:
             prev_p = inst.position_ids[0] - 1
             prev_c = inst.cache_ids[0] - 1
             while (k < n_steps and isinstance(node, Fill)
+                   and not isinstance(node, ImageEmbedFill)
                    and len(node.position_ids) == 1 and node.sample
                    and not node.is_chunked
                    and node.position_ids[0] == prev_p + 1
@@ -190,7 +195,10 @@ class FillExecutor:
                             - len(rcb.virtual_kv_cache.block_table))
             if need <= self.kv.n_available_blocks():
                 break
-            n_steps = max(1, n_steps // 2)
+            # skip 2 when halving: n_steps is a static jit key, and the
+            # warmed set is {K, K//2, 1} — a transient pressure-only 2
+            # would buy a fresh ~30s compile for one degraded step
+            n_steps = n_steps // 2 if n_steps > 4 else 1
         if n_steps <= 1:
             return 1, None
         ks = [min(k, n_steps) for k in ks]

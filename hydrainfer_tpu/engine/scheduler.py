@@ -113,43 +113,63 @@ class BatchScheduler:
         self._stamp_queue_end(rcb)
 
     def _demand_blocks(self, rcb: RequestControlBlock) -> int:
-        """Worst-case KV blocks for the request's full lifetime, minus the
-        prefix-cache blocks already resident for its prompt (those are
-        shared, not newly allocated — reserving for them would refuse
-        admission the pool can serve under exactly the warm-prefix workload
-        prefix caching targets). The match is advisory (blocks could be
-        evicted before allocation); the scheduler's deferral back-pressure
-        remains the safety net."""
+        """Worst-case KV blocks for the request's full lifetime."""
         if self.kv_cache_manager is None:
             return 0
         n_prompt = (rcb.request_metadata.n_prompt_tokens
                     if rcb.request_metadata else 0)
         n_tokens = n_prompt + (rcb.sampling_params.max_tokens
                                if rcb.sampling_params else 0)
-        need = -(-n_tokens // self.kv_cache_manager.block_size)
-        inst = rcb.current_instruction()
-        hashes = getattr(inst, "hashes", None)
-        if hashes:
-            for bid in self.kv_cache_manager.shared_cache.match(hashes):
-                if bid == -1:
-                    break
-                need -= 1
-        return max(need, 0)
+        return -(-n_tokens // self.kv_cache_manager.block_size)
 
     def _try_reserve(self, rcb: RequestControlBlock) -> bool:
+        """Reserve the request's worst-case footprint, DISCOUNTED by its
+        prefix-cache hit — the matched blocks are shared, not newly
+        allocated, so reserving for them would refuse admission the pool
+        can serve under exactly the warm-prefix workload prefix caching
+        targets. The discount must stay real until the request adopts the
+        blocks, so they are PINNED here (a merely advisory match could be
+        evicted before allocate_virtual_cache runs, silently breaking the
+        'sum of reserved worst cases <= pool' no-deadlock invariant); the
+        pin moves a block out of the evictable pool in the same step its
+        reservation need disappears, so the pool balance is unchanged.
+        release_admission_pins() drops the pins once the virtual cache
+        holds its own (allocate-time) pins, or on reject/terminate."""
         if self.kv_cache_manager is None:
             return True
         need = self._demand_blocks(rcb)
+        sc = self.kv_cache_manager.shared_cache
+        pins: List[int] = []
+        inst = rcb.current_instruction()
+        # only a Fill's hashes are KV-prefix hashes (an ImageEmbed's are
+        # image-cache hashes — wrong pool)
+        hashes = inst.hashes if isinstance(inst, Fill) else None
+        if hashes:
+            for bid in sc.match(hashes):
+                if bid == -1:
+                    break
+                pins.append(bid)
+        need = max(need - len(pins), 0)
         if self._reserved_blocks + need > self.kv_cache_manager.n_blocks:
             return False
+        if pins:
+            sc.pin(pins)
         self._reserved_blocks += need
         rcb._kv_reservation = need
+        rcb._admission_pins = pins
         return True
+
+    def release_admission_pins(self, rcb: RequestControlBlock) -> None:
+        pins = getattr(rcb, "_admission_pins", None)
+        if pins:
+            self.kv_cache_manager.shared_cache.unpin(pins)
+        rcb._admission_pins = None
 
     def release_reservation(self, rcb: RequestControlBlock) -> None:
         need = getattr(rcb, "_kv_reservation", 0)
         self._reserved_blocks -= need
         rcb._kv_reservation = 0
+        self.release_admission_pins(rcb)
 
     # -------- the step --------
 
@@ -196,6 +216,9 @@ class BatchScheduler:
                 if rcb.virtual_kv_cache is None:
                     rcb.virtual_kv_cache = \
                         self.kv_cache_manager.allocate_virtual_cache(inst.hashes)
+                    # the virtual cache now pins its matched prefix itself;
+                    # the admission-time pins have served their purpose
+                    self.release_admission_pins(rcb)
                     assert rcb.virtual_kv_cache.n_cache_tokens <= len(inst.token_ids)
                     # always recompute at least the last prompt token so the
                     # sample chain stays intact on a full prefix hit

@@ -69,10 +69,14 @@ async def _error_middleware(request, handler):
 
 class APIServer:
     def __init__(self, config: APIServerConfig, tokenizer,
-                 image_token: str = "<image>"):
+                 image_token: str = "<image>",
+                 image_token_calculator=None):
         self.config = config
         self.tokenizer = tokenizer
         self.image_token = image_token
+        # for usage accounting: expands the image token to its feature-token
+        # count (None = count the raw templated prompt only)
+        self.image_token_calculator = image_token_calculator
         self.observers = []
         self.streams: Dict[str, AsyncStream] = {}
         self.app = web.Application(middlewares=[_error_middleware])
@@ -122,6 +126,24 @@ class APIServer:
 
     async def health(self, _request) -> web.Response:
         return web.Response(text="ok")
+
+    def _count_prompt_tokens(self, prompt: str, image_b64) -> int:
+        """Engine-accurate prompt token count (runs off the event loop):
+        the raw templated prompt, with each image token expanded to its
+        feature-token count when a calculator is wired
+        (engine/request_processor.py:_expand_image_tokens)."""
+        n = len(self.tokenizer.encode(prompt))
+        if image_b64 and self.image_token_calculator is not None:
+            try:
+                import base64 as b64mod
+                import io
+                from PIL import Image
+                img = Image.open(io.BytesIO(b64mod.b64decode(image_b64)))
+                n += self.image_token_calculator.get_num_image_tokens(
+                    (img.height, img.width)) - 1
+            except Exception:
+                logger.exception("image token count failed")
+        return n
 
     def _parse_chat_content(self, messages):
         """Flatten content parts; image parts become the <image> token and
@@ -202,7 +224,8 @@ class APIServer:
 
         parts = [text async for text in stream]
         self.streams.pop(request_id, None)
-        n_prompt = len(self.tokenizer.encode(prompt))
+        n_prompt = await asyncio.get_event_loop().run_in_executor(
+            None, self._count_prompt_tokens, prompt, image_b64)
         response = ChatCompletionResponse(
             id=request_id, model=self.config.model_name,
             choices=[ChatCompletionChoice(

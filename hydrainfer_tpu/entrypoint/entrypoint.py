@@ -45,7 +45,8 @@ class EntryPoint:
         vision_cfg = factory.getVisionModelConfig()
         self.api_server = APIServer(
             config.api_server, factory.getTokenizer(),
-            image_token=vision_cfg.image_token or "<image>")
+            image_token=vision_cfg.image_token or "<image>",
+            image_token_calculator=vision_cfg.image_token_calculator)
         self.api_server.register_observer(self.cluster)
 
     async def run(self) -> None:

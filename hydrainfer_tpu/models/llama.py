@@ -165,6 +165,10 @@ class LlamaForCausalLM(LanguageModel):
         self._pp_weights = pp_shard_weights(
             pp_pack_weights(raw, mesh.shape["pp"]), mesh)
         self._pp_mesh = mesh
+        # drop the unsharded copy: PP exists for memory capacity — keeping
+        # the full per-layer weights alive alongside the stage shards would
+        # hold ~full-model HBM on every host
+        self.weights = None
         self.cos_tab, self.sin_tab = replicate((self.cos_tab, self.sin_tab),
                                                mesh)
         # the fused multi-step window is not built for the relay program

@@ -90,8 +90,16 @@ def decoder_forward_pp(weights_pp: dict, cache: jax.Array,
     pp = mesh.shape["pp"]
     from jax import shard_map
 
-    cos = jnp.take(cos_tab, batch.positions, axis=0)
-    sin = jnp.take(sin_tab, batch.positions, axis=0)
+    if cfg.mrope_section and getattr(batch, "positions_hw", None) is not None:
+        # M-RoPE composes with pp for free: the section-combined cos/sin
+        # gather happens per token BEFORE the stage relay
+        from ..ops.rope import mrope_gather
+        cos, sin = mrope_gather(cos_tab, sin_tab, batch.positions,
+                                batch.positions_hw[0], batch.positions_hw[1],
+                                cfg.mrope_section)
+    else:
+        cos = jnp.take(cos_tab, batch.positions, axis=0)
+        sin = jnp.take(sin_tab, batch.positions, axis=0)
     # stage-local attention must not re-enter the tp shard_map path
     import dataclasses
     cfg_local = dataclasses.replace(cfg, mesh=None)

@@ -166,3 +166,32 @@ def test_reservation_discounts_prefix_hits():
     sched2.schedule_new(c)
     assert len(sched2.step()) == 0
     assert len(sched2.waiting) == 1
+
+
+def test_prefix_discount_pins_matched_blocks():
+    """The admission discount must PIN its matched blocks: an evictable
+    match that could vanish before allocation would silently break the
+    reservation no-deadlock invariant. Pins release once the virtual cache
+    holds its own, or with the reservation."""
+    sched, kv = make_scheduler(max_running=8, n_blocks=10)
+    hashes = [201, 202, 203, 204]
+    vc = kv.allocate_virtual_cache()
+    kv.realloc(vc, 16)
+    kv.set_blocks(vc, [0, 1, 2, 3], hashes)
+    kv.free(vc)                               # blocks now evictable
+    assert kv.shared_cache.n_available() == 4
+
+    b = make_rcb(16, max_tokens=4)
+    b.instructions.head.next.hashes = hashes
+    sched.schedule_new(b)
+    batch = sched.step()
+    assert len(batch) == 1
+    # discounted AND pinned: no longer evictable out from under the discount
+    assert b._kv_reservation == 1
+    assert kv.shared_cache.n_available() == 0
+    # allocation re-pins via the virtual cache and drops the admission pins
+    assert b.virtual_kv_cache is not None
+    assert getattr(b, "_admission_pins", None) is None
+    assert b.virtual_kv_cache.n_cache_tokens == 16  # all 4 blocks matched
+
+    sched.release_reservation(b)              # idempotent wrt pins
