@@ -66,12 +66,37 @@ class DecoderConfig:
     # summing to head_dim/2; () = standard 1D rope. See ops/rope.py:
     # mrope_gather (HF-exact; the reference has no M-RoPE at all).
     mrope_section: tuple = ()
+    # Multi-head Latent Attention (DeepSeek V2/V3; 0 = off). The KV cache
+    # stores ONE vector per token: [c_kv (kv_lora) | rotated k_pe (rope)],
+    # so head_dim must equal mla_kv_lora + mla_rope_dim and n_kv_heads 1.
+    # Attention runs "absorbed": q_nope is projected into latent space with
+    # W_UK, scores are taken against the cached latents directly (an MQA
+    # with the v:=k trick — the attention output's first kv_lora dims are
+    # the latent context, expanded per head by W_UV). The reference cannot
+    # load MLA checkpoints at all (hydrainfer/model/deepseek_v3.py:158-183
+    # is plain GQA) — i.e. no REAL DeepSeek-V2/V3 checkpoint works there.
+    mla_kv_lora: int = 0
+    mla_rope_dim: int = 0
+    mla_nope_dim: int = 0
+    mla_v_dim: int = 0
+    # real V3 checkpoints store rope weights interleaved (HF rope_interleave)
+    mla_rope_interleave: bool = True
+    # 0 = 1/sqrt(nope+rope); yarn-scaled checkpoints bake mscale^2 in here
+    mla_softmax_scale: float = 0.0
+    # rope table dim override (MLA ropes only mla_rope_dim of each head);
+    # 0 = head_dim
+    rope_head_dim: int = 0
     # sparse MoE MLP (0 = dense): layers carry moe_router/moe_gate_up/moe_down
     moe_top_k: int = 0
     n_experts: int = 0
     moe_scoring: str = "softmax"       # softmax | sigmoid
     moe_norm_topk: bool = True
     moe_routed_scaling: float = 1.0
+    # group-limited routing (DeepSeek-V3 noaux_tc gate): experts divide into
+    # n_groups, only topk_groups survive (scored by their top-2 sum of
+    # sigmoid+bias), then top-k inside. 0 = plain top-k routing.
+    moe_n_groups: int = 0
+    moe_topk_groups: int = 0
     # tensor-parallel mesh (set by shard_to): attention runs under shard_map
     # with q heads + cache kv-heads sharded over the 'tp' axis — the Pallas
     # ragged kernel cannot be GSPMD-partitioned, so the head axis is split
@@ -84,7 +109,8 @@ class DecoderConfig:
 
 
 def init_rope_tables(cfg: DecoderConfig):
-    inv = 1.0 / (cfg.rope_theta ** (jnp.arange(0, cfg.head_dim, 2, dtype=jnp.float32) / cfg.head_dim))
+    d = cfg.rope_head_dim or cfg.head_dim
+    inv = 1.0 / (cfg.rope_theta ** (jnp.arange(0, d, 2, dtype=jnp.float32) / d))
     t = jnp.arange(cfg.max_position_embeddings, dtype=jnp.float32)
     freqs = jnp.einsum("i,j->ij", t, inv)
     return jnp.cos(freqs), jnp.sin(freqs)
@@ -141,9 +167,80 @@ import os as _os
 _BISECT = _os.environ.get("HYDRA_BISECT", "")
 
 
+def _deinterleave(x):
+    """[x0,x1,x2,x3,...] → [x0,x2,...,x1,x3,...] (HF rope_interleave:
+    checkpoints whose rope weights are stored pair-interleaved are
+    reordered before the standard rotate-half rope)."""
+    return jnp.concatenate([x[..., 0::2], x[..., 1::2]], axis=-1)
+
+
+def _mla_layer(x, cache, layer_id, lw, batch: LanguageModelBatch,
+               cos, sin, cfg: DecoderConfig, max_q: int):
+    """DeepSeek Multi-head Latent Attention layer (absorbed form).
+
+    HF reference semantics (transformers modeling_deepseek_v3.py:380-445):
+    q via the optional q-LoRA stack, kv compressed to [c_kv | k_pe]. Here
+    the cache stores EXACTLY that compressed vector per token (kv head 1,
+    dim kv_lora+rope — the ~an-order-of-magnitude KV saving MLA exists
+    for), and attention runs absorbed: q_nope @ W_UK gives the latent-space
+    query, scores are taken directly against cached vectors with the
+    standard paged-attention kernels via the v:=k trick (the output's first
+    kv_lora dims are the latent context), then W_UV expands per head.
+    Mathematically identical to HF's materialized form."""
+    T = x.shape[0]
+    H = cfg.n_qo_heads
+    r, dr = cfg.mla_kv_lora, cfg.mla_rope_dim
+    dn, dv = cfg.mla_nope_dim, cfg.mla_v_dim
+    assert cfg.kv_scale is None, "int8 KV not wired for MLA"
+    eps = cfg.rms_norm_eps
+
+    h = rms_norm(x, lw["input_norm"], eps)
+    if "q_a" in lw:
+        q = qmatmul(rms_norm(qmatmul(h, lw["q_a"]), lw["q_a_norm"], eps),
+                    lw["q_b"])
+    else:
+        q = qmatmul(h, lw["q_proj"])
+    q = q.reshape(T, H, dn + dr)
+    q_nope, q_pe = q[..., :dn], q[..., dn:]
+
+    ckv = qmatmul(h, lw["kv_a"])                       # (T, r + dr)
+    c_kv = rms_norm(ckv[:, :r], lw["kv_a_norm"], eps)
+    k_pe = ckv[:, None, r:]                            # (T, 1, dr)
+
+    if cfg.mla_rope_interleave:
+        q_pe = _deinterleave(q_pe)
+        k_pe = _deinterleave(k_pe)
+    q_pe = apply_rotary_emb(q_pe, cos, sin, False)
+    k_pe = apply_rotary_emb(k_pe, cos, sin, False)
+
+    # absorbed latent query: W_UK is (r, H, dn)
+    q_lat = jnp.einsum("thn,rhn->thr", q_nope, lw["w_uk"],
+                       preferred_element_type=jnp.float32).astype(x.dtype)
+    q_full = jnp.concatenate([q_lat, q_pe], axis=-1)   # (T, H, r+dr)
+
+    kv_vec = jnp.concatenate([c_kv[:, None, :], k_pe], axis=-1)  # (T,1,r+dr)
+    bisect = cfg.bisect or _BISECT
+    if "no-write" not in bisect:
+        cache = _write_kv(cache, layer_id, batch, kv_vec, kv_vec, cfg)
+
+    scale = cfg.mla_softmax_scale or 1.0 / ((dn + dr) ** 0.5)
+    attn = paged_attention(q_full, cache, layer_id, batch.attention,
+                           scale, max_q, impl=cfg.attention_impl)
+    ctx = attn[..., :r]                                # (T, H, r)
+    out = jnp.einsum("thr,rhv->thv", ctx, lw["w_uv"],
+                     preferred_element_type=jnp.float32).astype(x.dtype)
+    x = x + qmatmul(out.reshape(T, H * dv), lw["o_proj"])
+
+    h = rms_norm(x, lw["post_norm"], eps)
+    return x + _mlp(h, lw, cfg), cache
+
+
 def _layer_body(x, cache, layer_id, lw, batch: LanguageModelBatch,
                 cos, sin, cfg: DecoderConfig, max_q: int):
     """One decoder layer: attention block + MLP block."""
+    if cfg.mla_kv_lora > 0:
+        assert cfg.mesh is None, "MLA + tp sharding is not wired (kv head 1)"
+        return _mla_layer(x, cache, layer_id, lw, batch, cos, sin, cfg, max_q)
     T = x.shape[0]
     Hq, Hkv, D = cfg.n_qo_heads, cfg.n_kv_heads, cfg.head_dim
 
@@ -207,11 +304,19 @@ def _write_kv(cache, layer_id, batch, k, v, cfg: DecoderConfig):
 
 def _mlp(h: jax.Array, lw: dict, cfg: DecoderConfig) -> jax.Array:
     if cfg.moe_top_k > 0 and "moe_router" in lw:
-        from ..ops.moe import moe_ffn, moe_ffn_ep, route
-        weights, idx = route(h @ lw["moe_router"], cfg.moe_top_k,
-                             scoring=cfg.moe_scoring,
-                             norm_topk=cfg.moe_norm_topk,
-                             routed_scaling=cfg.moe_routed_scaling)
+        from ..ops.moe import grouped_topk_sigmoid, moe_ffn, moe_ffn_ep, route
+        logits = jnp.dot(h.astype(jnp.float32),
+                         lw["moe_router"].astype(jnp.float32))
+        if cfg.moe_n_groups > 0:
+            weights, idx = grouped_topk_sigmoid(
+                logits, lw["moe_router_bias"], cfg.moe_n_groups,
+                cfg.moe_topk_groups, cfg.moe_top_k,
+                routed_scaling=cfg.moe_routed_scaling)
+        else:
+            weights, idx = route(logits, cfg.moe_top_k,
+                                 scoring=cfg.moe_scoring,
+                                 norm_topk=cfg.moe_norm_topk,
+                                 routed_scaling=cfg.moe_routed_scaling)
         if cfg.mesh is not None and cfg.mesh.shape.get("tp", 1) > 1:
             # expert parallelism: expert axis sharded over 'tp', combine by
             # psum (ops/moe.py:moe_ffn_ep) — each chip reads 1/n of the
@@ -429,6 +534,22 @@ def _last_layer_and_head(weights, cache, last_cache, last_layer_id, x, batch,
     # then only the sampled rows continue through the MLP and head
     sample_idx = jnp.maximum(batch.sample_token_idx, 0)
     lw = weights["last_layer"]
+    if cfg.mla_kv_lora > 0:
+        # MLA last layer runs whole (token discard after its MLP — a FLOP
+        # nicety the latent path skips), then the shared head
+        x, last_cache = _mla_layer(x, last_cache, last_layer_id, lw, batch,
+                                   cos, sin, cfg, max_q)
+        if per_layer:
+            cache = list(cache[:-1]) + [last_cache]
+        else:
+            cache = last_cache
+        x = jnp.take(x, sample_idx, axis=0)
+        token_table, tokens, logits = _final_head(weights, x, batch, cfg,
+                                                  token_table)
+        cache_out = None if is_ref else cache
+        if return_logits:
+            return cache_out, token_table, tokens, logits
+        return cache_out, token_table, tokens
     T = x.shape[0]
     Hq, Hkv, D = cfg.n_qo_heads, cfg.n_kv_heads, cfg.head_dim
     h = rms_norm(x, lw["input_norm"], cfg.rms_norm_eps)

@@ -1,12 +1,16 @@
-"""DeepSeek V2/V3-family MoE language model.
+"""DeepSeek V2/V3-family MoE language model, WITH Multi-head Latent
+Attention.
 
 From-scratch functional equivalent of the reference's DeepSeek LM
 (reference: hydrainfer/model/deepseek_v3.py — MoEGate with softmax/sigmoid
 greedy top-k + routed scaling (:40-93), dense first_k layers then MoE with
-shared experts (:95-156), STANDARD GQA attention: like the reference, MLA is
-not implemented (:158-183 uses plain q/k/v projections), so only non-MLA
-checkpoints load). Experts run as grouped ragged_dot matmuls via the shared
-decoder's MoE path.
+shared experts (:95-156)), going BEYOND it on attention: the reference uses
+plain GQA projections (:158-183) so no REAL DeepSeek-V2/V3 checkpoint (all
+of which are MLA) can load there. Here MLA checkpoints convert natively
+(q-LoRA stack, kv_a/kv_b split into the absorbed W_UK/W_UV) and the paged
+KV cache stores the compressed per-token latent (models/decoder.py:
+_mla_layer) — the ~order-of-magnitude KV saving MLA exists for. Experts
+run as grouped ragged_dot matmuls via the shared decoder's MoE path.
 """
 import dataclasses
 import json
@@ -25,13 +29,41 @@ from .weight_loader import WeightStore
 def deepseek_decoder_config(text_cfg: dict, attention_impl: str = "auto",
                             layer_loop: str = "auto"):
     base = decoder_config_from_hf(text_cfg, attention_impl, layer_loop=layer_loop)
-    return dataclasses.replace(
+    base = dataclasses.replace(
         base,
         moe_top_k=text_cfg.get("num_experts_per_tok", 0) or 0,
         n_experts=text_cfg.get("n_routed_experts", 0) or 0,
         moe_scoring=text_cfg.get("scoring_func", "softmax"),
         moe_norm_topk=bool(text_cfg.get("norm_topk_prob", True)),
-        moe_routed_scaling=float(text_cfg.get("routed_scaling_factor", 1.0)))
+        moe_routed_scaling=float(text_cfg.get("routed_scaling_factor", 1.0)),
+        # V3's noaux_tc gate: group-limited sigmoid routing with a learned
+        # correction bias (plain top-k when topk_method isn't noaux_tc)
+        moe_n_groups=(text_cfg.get("n_group", 0) or 0
+                      if text_cfg.get("topk_method", "noaux_tc") == "noaux_tc"
+                      else 0),
+        moe_topk_groups=text_cfg.get("topk_group", 0) or 0)
+    r = text_cfg.get("kv_lora_rank") or 0
+    if r:
+        # MLA: the cache holds one [c_kv | k_pe] vector per token -> kv
+        # head 1 of dim r+rope; rope tables sized to the rope dims only
+        dr = text_cfg["qk_rope_head_dim"]
+        dn = text_cfg["qk_nope_head_dim"]
+        scale = (dn + dr) ** -0.5
+        rs = text_cfg.get("rope_scaling") or {}
+        if rs.get("mscale_all_dim"):
+            import math
+            f = float(rs.get("factor", 1.0))
+            m = (0.1 * float(rs["mscale_all_dim"]) * math.log(f) + 1.0
+                 if f > 1 else 1.0)
+            scale = scale * m * m
+        base = dataclasses.replace(
+            base,
+            mla_kv_lora=r, mla_rope_dim=dr, mla_nope_dim=dn,
+            mla_v_dim=text_cfg["v_head_dim"],
+            mla_rope_interleave=bool(text_cfg.get("rope_interleave", True)),
+            mla_softmax_scale=scale,
+            n_kv_heads=1, head_dim=r + dr, rope_head_dim=dr)
+    return base
 
 
 def convert_deepseek_weights(store: WeightStore, cfg, text_cfg: dict,
@@ -44,16 +76,26 @@ def convert_deepseek_weights(store: WeightStore, cfg, text_cfg: dict,
     w = {"embed": store.get(f"{prefix}embed_tokens.weight"), "layers": []}
     for l in range(cfg.n_layers):
         p = f"{prefix}layers.{l}."
-        lw = {
-            "qkv_proj": store.fused_linear(
-                [p + "self_attn.q_proj", p + "self_attn.k_proj",
-                 p + "self_attn.v_proj"]),
-            "o_proj": store.linear(p + "self_attn.o_proj"),
+        if cfg.mla_kv_lora > 0:
+            lw = _mla_attention_weights(store, cfg, p)
+        else:
+            lw = {
+                "qkv_proj": store.fused_linear(
+                    [p + "self_attn.q_proj", p + "self_attn.k_proj",
+                     p + "self_attn.v_proj"]),
+                "o_proj": store.linear(p + "self_attn.o_proj"),
+            }
+        lw.update({
             "input_norm": store.get(p + "input_layernorm.weight"),
             "post_norm": store.get(p + "post_attention_layernorm.weight"),
-        }
+        })
         if cfg.moe_top_k > 0 and l >= first_dense:
             lw["moe_router"] = store.linear(p + "mlp.gate")
+            if cfg.moe_n_groups > 0:
+                bias_name = p + "mlp.gate.e_score_correction_bias"
+                lw["moe_router_bias"] = (
+                    store.get(bias_name) if store.has(bias_name)
+                    else jnp.zeros((cfg.n_experts,), jnp.float32))
             lw["moe_gate_up"] = jnp.stack([
                 store.fused_linear([f"{p}mlp.experts.{e}.gate_proj",
                                     f"{p}mlp.experts.{e}.up_proj"])
@@ -78,8 +120,34 @@ def convert_deepseek_weights(store: WeightStore, cfg, text_cfg: dict,
     return w
 
 
+def _mla_attention_weights(store: WeightStore, cfg, p: str) -> dict:
+    """MLA projections; kv_b is split into the absorbed W_UK (r, H, nope)
+    and W_UV (r, H, v) (reference for the HF layout:
+    transformers modeling_deepseek_v3.py:380-445)."""
+    import numpy as np
+    H = cfg.n_qo_heads
+    r, dn, dv = cfg.mla_kv_lora, cfg.mla_nope_dim, cfg.mla_v_dim
+    lw = {
+        "kv_a": store.linear(p + "self_attn.kv_a_proj_with_mqa"),
+        "kv_a_norm": store.get(p + "self_attn.kv_a_layernorm.weight"),
+        "o_proj": store.linear(p + "self_attn.o_proj"),
+    }
+    if store.has(p + "self_attn.q_a_proj.weight"):
+        lw["q_a"] = store.linear(p + "self_attn.q_a_proj")
+        lw["q_a_norm"] = store.get(p + "self_attn.q_a_layernorm.weight")
+        lw["q_b"] = store.linear(p + "self_attn.q_b_proj")
+    else:
+        lw["q_proj"] = store.linear(p + "self_attn.q_proj")
+    kv_b = store.get(p + "self_attn.kv_b_proj.weight")
+    # HF stores (H*(dn+dv), r); we want (r, H, dn) / (r, H, dv)
+    kv_b = jnp.transpose(kv_b.reshape(H, dn + dv, r), (2, 0, 1))
+    lw["w_uk"] = kv_b[:, :, :dn]
+    lw["w_uv"] = kv_b[:, :, dn:]
+    return lw
+
+
 class DeepSeekModelFactory(ModelFactory):
-    """Text-only DeepSeek V2/V3 (non-MLA) checkpoints."""
+    """Text-only DeepSeek V2/V3 checkpoints, MLA and plain-GQA alike."""
 
     def __init__(self, config: ModelFactoryConfig, context: ModelFactoryContext):
         self.config = config
