@@ -177,7 +177,15 @@ class LlamaForCausalLM(LanguageModel):
         def _flat_pp_fn(w, cache, token_table, flat, image_cache,
                         cos_tab, sin_tab, dims):
             from .factory import unpack_fill_batch
+            from ..parallel.pipeline import decoder_forward_pp_decode
             batch = unpack_fill_batch(flat, image_cache, dims, cfg.hidden_size)
+            # pure-decode batches take the microbatched (GPipe) schedule —
+            # every stage busy once the pipe fills — the relay otherwise
+            if dims.max_q == 1 and dims.S % mesh.shape["pp"] == 0 \
+                    and dims.S >= mesh.shape["pp"]:
+                return decoder_forward_pp_decode(
+                    w, cache, batch, cos_tab, sin_tab, cfg, token_table,
+                    mesh, n_micro=mesh.shape["pp"])
             return decoder_forward_pp(w, cache, batch, cos_tab, sin_tab,
                                       cfg, dims.max_q, token_table, mesh)
 

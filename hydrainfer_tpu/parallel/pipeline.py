@@ -27,6 +27,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.decoder import (DecoderConfig, _final_head, _layer_body)
 from ..models.factory import LanguageModelBatch
+from ..ops.attention import PagedAttentionParams
 
 
 def pp_pack_weights(weights: dict, pp: int) -> dict:
@@ -166,3 +167,142 @@ def decoder_forward_pp(weights_pp: dict, cache: jax.Array,
 # backward-compatible alias used by tests/dryrun that shard in one call
 def pp_shard(weights_pp: dict, cache, mesh: Mesh):
     return pp_shard_weights(weights_pp, mesh), pp_shard_cache(cache, mesh)
+
+
+def decoder_forward_pp_decode(weights_pp: dict, cache: jax.Array,
+                              batch: LanguageModelBatch, cos_tab, sin_tab,
+                              cfg: DecoderConfig, token_table: jax.Array,
+                              mesh: Mesh, n_micro: int):
+    """Microbatched pipeline step for PURE single-token-decode batches —
+    the GPipe schedule that fills the relay's bubble.
+
+    The batch's S padded sequences (token row t belongs to seq t — the
+    builder packs decode fills in seq order) split into n_micro microbatches
+    of S/n_micro consecutive rows, each an independent attention problem.
+    Tick t has stage s working on microbatch t-s: every stage is busy once
+    the pipe fills, so a step costs n_micro+P-1 stage-ticks instead of the
+    relay's n_micro*P — utilization M/(M+P-1) vs 1/P. Activations ppermute
+    along the ring; the last stage deposits each microbatch's output in a
+    replicated buffer (psum-combined at the end) for the shared head."""
+    pp = mesh.shape["pp"]
+    from jax import shard_map
+
+    a = batch.attention
+    S = a.kv_lens.shape[0]
+    assert S % n_micro == 0, (S, n_micro)
+    Sm = S // n_micro
+
+    if cfg.mrope_section and getattr(batch, "positions_hw", None) is not None:
+        from ..ops.rope import mrope_gather
+        cos_all, sin_all = mrope_gather(
+            cos_tab, sin_tab, batch.positions, batch.positions_hw[0],
+            batch.positions_hw[1], cfg.mrope_section)
+    else:
+        cos_all = jnp.take(cos_tab, batch.positions, axis=0)
+        sin_all = jnp.take(sin_tab, batch.positions, axis=0)
+
+    import dataclasses
+    cfg_local = dataclasses.replace(cfg, mesh=None)
+
+    def local(stack, cache, batch, tt, embed, norm, lm_head, cos_all, sin_all):
+        sid = jax.lax.axis_index("pp")
+        a = batch.attention
+
+        token_ids = batch.token_ids
+        src = batch.token_src_slots
+        token_ids = jnp.where(
+            src >= 0, jnp.take(tt, jnp.maximum(src, 0), axis=0), token_ids)
+        x_all = jnp.take(embed, token_ids[:S], axis=0)     # (S, hidden)
+
+        Lp = cache.shape[0]
+        layer_ids = jnp.arange(Lp, dtype=jnp.int32)
+
+        def micro_geometry(m):
+            """The m-th microbatch's attention problem (rows [m*Sm, ...))."""
+            row0 = m * Sm
+            sl = lambda v: jax.lax.dynamic_slice_in_dim(v, row0, Sm)
+            kv = sl(a.kv_lens)
+            valid = kv > 0
+            q_seq = jnp.where(valid, jnp.arange(Sm, dtype=jnp.int32), -1)
+            n = jnp.sum(valid.astype(jnp.int32))
+            cu = jnp.minimum(jnp.arange(Sm + 1, dtype=jnp.int32), n)
+            return PagedAttentionParams(
+                q_seq_ids=q_seq,
+                q_local_ids=jnp.zeros((Sm,), jnp.int32),
+                positions=sl(a.positions[:S]),
+                kv_lens=kv,
+                block_tables=jax.lax.dynamic_slice_in_dim(
+                    a.block_tables, row0, Sm, axis=0),
+                new_kv_slot_ids=sl(a.new_kv_slot_ids[:S]),
+                cu_q_lens=cu,
+                num_seqs=n.reshape(1))
+
+        def run_stage(x, cache, m):
+            attn = micro_geometry(m)
+            row0 = m * Sm
+            mb = dataclasses.replace(
+                batch,
+                token_ids=jnp.zeros((Sm,), jnp.int32),
+                positions=jax.lax.dynamic_slice_in_dim(
+                    batch.positions[:S], row0, Sm),
+                attention=attn,
+                image_features=jnp.zeros((0, x.shape[-1]), x.dtype),
+                image_dst_idx=jnp.zeros((0,), jnp.int32),
+                sample_token_idx=jnp.arange(Sm, dtype=jnp.int32),
+                token_src_slots=jnp.full((Sm,), -1, jnp.int32),
+                sample_dst_slots=jnp.full((Sm,), -1, jnp.int32))
+            cos = jax.lax.dynamic_slice_in_dim(cos_all[:S], row0, Sm)
+            sin = jax.lax.dynamic_slice_in_dim(sin_all[:S], row0, Sm)
+
+            def scan_step(carry, inp):
+                x, c = carry
+                lid, lw = inp
+                x, c = _layer_body(x, c, lid, lw, mb, cos, sin,
+                                   cfg_local, max_q=1)
+                return (x, c), None
+            (x, cache), _ = jax.lax.scan(scan_step, (x, cache),
+                                         (layer_ids, stack))
+            return x, cache
+
+        out = jnp.zeros((S, x_all.shape[-1]), x_all.dtype)
+        xcur = jnp.zeros((Sm, x_all.shape[-1]), x_all.dtype)
+        for t in range(n_micro + pp - 1):
+            idx = t - sid
+            m = jnp.clip(idx, 0, n_micro - 1)
+            x_in = jnp.where(sid == 0,
+                             jax.lax.dynamic_slice_in_dim(x_all, m * Sm, Sm),
+                             xcur)
+            active = (idx >= 0) & (idx < n_micro)
+            y, cache = jax.lax.cond(
+                active, run_stage, lambda x, c, _m: (x, c), x_in, cache, m)
+            # the last stage deposits its finished microbatch
+            deposit = active & (sid == pp - 1)
+            out = jax.lax.cond(
+                deposit,
+                lambda o: jax.lax.dynamic_update_slice_in_dim(
+                    o, y, m * Sm, axis=0),
+                lambda o: o, out)
+            xcur = jax.lax.ppermute(
+                y, "pp", [(i, (i + 1) % pp) for i in range(pp)])
+        # out is only filled on the last stage; broadcast it
+        out = jax.lax.psum(
+            jnp.where(sid == pp - 1, out, jnp.zeros_like(out)), "pp")
+
+        sample_idx = jnp.maximum(batch.sample_token_idx, 0)
+        x = jnp.take(out, sample_idx, axis=0)
+        head_w = {"norm": norm, "lm_head": lm_head}
+        tt, tokens, _ = _final_head(head_w, x, batch, cfg_local, tt)
+        return cache, tt, tokens
+
+    rep = jax.tree_util.tree_map(lambda _: P(), batch)
+    stack_specs = jax.tree_util.tree_map(_layer_axis_spec,
+                                         weights_pp["stack"])
+    cache_spec = _layer_axis_spec(cache)
+    return shard_map(
+        local, mesh=mesh,
+        in_specs=(stack_specs, cache_spec, rep, P(), P(), P(), P(), P(), P()),
+        out_specs=(cache_spec, P(), P()),
+        check_vma=False,
+    )(weights_pp["stack"], cache, batch, token_table,
+      weights_pp["embed"], weights_pp["norm"], weights_pp["lm_head"],
+      cos_all, sin_all)

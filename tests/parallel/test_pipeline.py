@@ -179,3 +179,80 @@ def test_pp_engine_matches_single_device():
     pp = run(devices=jax.devices()[:2], parallel="pp")  # tiny-lm: 2 layers
     assert [len(t) for t in single] == [8, 8, 8]
     assert pp == single
+
+
+def test_pp_microbatched_decode_matches_single():
+    """The GPipe-microbatched decode schedule must produce the same tokens
+    and cache writes as the single-device step (mixed live/padded seqs)."""
+    from hydrainfer_tpu.parallel.pipeline import decoder_forward_pp_decode
+
+    cfg = make_cfg(n_layers=4)
+    raw = init_decoder_weights(cfg, jax.random.PRNGKey(2), jnp.float32)
+    cos, sin = init_rope_tables(cfg)
+
+    # pure decode batch: 6 live seqs (of 8 padded), varying kv_lens
+    S = 8
+    kv_lens = np.array([3, 5, 2, 7, 4, 6, 0, 0], np.int32)
+    tables = np.full((S, 4), -1, np.int32)
+    cache = np.zeros((cfg.n_layers, 1, N_BLOCKS, BLOCK,
+                      2 * cfg.n_kv_heads, cfg.head_dim), np.float32)
+    rngc = np.random.default_rng(8)
+    bid = 0
+    for s in range(S):
+        if kv_lens[s] == 0:
+            continue
+        nb = -(-int(kv_lens[s]) // BLOCK)
+        tables[s, :nb] = range(bid, bid + nb)
+        # pre-existing context KV
+        for p in range(int(kv_lens[s]) - 1):
+            blk, off = tables[s, p // BLOCK], p % BLOCK
+            cache[:, 0, blk, off] = rngc.standard_normal(
+                (cfg.n_layers, 2 * cfg.n_kv_heads, cfg.head_dim)) * 0.3
+        bid += nb
+    positions = np.where(kv_lens > 0, kv_lens - 1, 0).astype(np.int32)
+    slots = np.full(S, -1, np.int32)
+    for s in range(S):
+        if kv_lens[s] > 0:
+            slots[s] = tables[s, positions[s] // BLOCK] * BLOCK \
+                + positions[s] % BLOCK
+    q_seq_ids = np.where(kv_lens > 0, np.arange(S, dtype=np.int32), -1)
+    n_live = int((kv_lens > 0).sum())
+    cu = np.minimum(np.arange(S + 1), n_live).astype(np.int32)
+
+    batch = LanguageModelBatch(
+        token_ids=jnp.asarray(np.arange(S, dtype=np.int32) % 50 + 3),
+        positions=jnp.asarray(positions),
+        image_features=jnp.zeros((0, 64), jnp.float32),
+        image_dst_idx=jnp.zeros((0,), jnp.int32),
+        attention=PagedAttentionParams(
+            q_seq_ids=jnp.asarray(q_seq_ids),
+            q_local_ids=jnp.zeros((S,), jnp.int32),
+            positions=jnp.asarray(positions),
+            kv_lens=jnp.asarray(kv_lens),
+            block_tables=jnp.asarray(tables),
+            new_kv_slot_ids=jnp.asarray(slots),
+            cu_q_lens=jnp.asarray(cu),
+            num_seqs=jnp.asarray([n_live], np.int32)),
+        sample_token_idx=jnp.asarray(np.arange(S, dtype=np.int32)),
+        token_src_slots=jnp.full((S,), -1, jnp.int32),
+        sample_dst_slots=jnp.asarray(
+            np.where(kv_lens > 0, np.arange(S), -1).astype(np.int32)))
+    table = jnp.zeros((8,), jnp.int32)
+    cache = jnp.asarray(cache)
+
+    cache_ref, table_ref, tok_ref = decoder_forward(
+        pack_decoder_weights(raw), cache, batch, cos, sin, cfg, max_q=1,
+        token_table=table)
+
+    mesh = make_mesh(8, axis_names=("dp", "pp"), shape=(2, 4))
+    w_pp, cache_pp = pp_shard(pp_pack_weights(raw, pp=4), cache, mesh)
+    step = jax.jit(decoder_forward_pp_decode,
+                   static_argnames=("cfg", "mesh", "n_micro"))
+    cache_out, table_pp, tok_pp = step(
+        w_pp, cache_pp, batch, cos, sin, cfg, token_table=table,
+        mesh=mesh, n_micro=4)
+
+    assert np.array_equal(np.asarray(tok_ref), np.asarray(tok_pp))
+    assert np.array_equal(np.asarray(table_ref), np.asarray(table_pp))
+    np.testing.assert_allclose(np.asarray(cache_out), np.asarray(cache_ref),
+                               rtol=1e-5, atol=1e-5)
