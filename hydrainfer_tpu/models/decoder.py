@@ -224,8 +224,19 @@ def _mla_layer(x, cache, layer_id, lw, batch: LanguageModelBatch,
         cache = _write_kv(cache, layer_id, batch, kv_vec, kv_vec, cfg)
 
     scale = cfg.mla_softmax_scale or 1.0 / ((dn + dr) ** 0.5)
-    attn = paged_attention(q_full, cache, layer_id, batch.attention,
-                           scale, max_q, impl=cfg.attention_impl)
+    if cfg.mesh is not None:
+        # TP over MLA: q heads (and W_UK/W_UV/o_proj) shard over 'tp'; the
+        # latent cache is REPLICATED (kv head 1 cannot split), so attention
+        # partitions along the q-head axis under GSPMD (paged_attention_tp
+        # detects KVH % tp != 0 and takes the oracle path, which XLA
+        # partitions by the sharded head operands)
+        from ..ops.attention import paged_attention_tp
+        attn = paged_attention_tp(q_full, cache, layer_id, batch.attention,
+                                  scale, max_q, cfg.mesh,
+                                  impl=cfg.attention_impl)
+    else:
+        attn = paged_attention(q_full, cache, layer_id, batch.attention,
+                               scale, max_q, impl=cfg.attention_impl)
     ctx = attn[..., :r]                                # (T, H, r)
     out = jnp.einsum("thr,rhv->thv", ctx, lw["w_uv"],
                      preferred_element_type=jnp.float32).astype(x.dtype)
@@ -239,7 +250,6 @@ def _layer_body(x, cache, layer_id, lw, batch: LanguageModelBatch,
                 cos, sin, cfg: DecoderConfig, max_q: int):
     """One decoder layer: attention block + MLP block."""
     if cfg.mla_kv_lora > 0:
-        assert cfg.mesh is None, "MLA + tp sharding is not wired (kv head 1)"
         return _mla_layer(x, cache, layer_id, lw, batch, cos, sin, cfg, max_q)
     T = x.shape[0]
     Hq, Hkv, D = cfg.n_qo_heads, cfg.n_kv_heads, cfg.head_dim

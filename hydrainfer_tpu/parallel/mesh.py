@@ -53,6 +53,17 @@ DECODER_WEIGHT_RULES = {
     "moe_router_bias": P(None),
     "moe_gate_up": P("tp", None, None),
     "moe_down": P("tp", None, None),
+    # MLA (DeepSeek): q heads + absorbed up-projections shard over 'tp';
+    # the compressed-latent projections and norms replicate (the latent
+    # cache itself is replicated — kv head 1 cannot split)
+    "q_a": P(None, None),
+    "q_a_norm": P(None),
+    "q_b": P(None, "tp"),
+    "q_proj": P(None, "tp"),
+    "kv_a": P(None, None),
+    "kv_a_norm": P(None),
+    "w_uk": P(None, "tp", None),
+    "w_uv": P(None, "tp", None),
 }
 
 
@@ -111,8 +122,14 @@ def shard_decoder_weights(weights: dict, mesh: Mesh) -> dict:
 def shard_kv_cache(cache, mesh: Mesh):
     """(n_layers, n_tensors, n_blocks, block_size, n_kv_heads, head_dim):
     shard the kv-head axis so each chip holds its own heads' pages. Accepts
-    the per-layer list layout too (each entry sharded the same way)."""
-    spec = NamedSharding(mesh, P(None, None, None, None, "tp", None))
+    the per-layer list layout too (each entry sharded the same way).
+    Caches whose head axis does not divide the 'tp' size (MLA: one latent
+    head) replicate instead."""
+    first = cache[0] if isinstance(cache, (list, tuple)) else cache
+    if first.shape[-2] % max(1, mesh.shape.get("tp", 1)):
+        spec = NamedSharding(mesh, P())
+    else:
+        spec = NamedSharding(mesh, P(None, None, None, None, "tp", None))
     if isinstance(cache, (list, tuple)):
         return [jax.device_put(c, spec) for c in cache]
     return jax.device_put(cache, spec)

@@ -132,3 +132,47 @@ def test_mla_engine_fused_matches_single(tiny_dsv3, monkeypatch):
     fused = run(4)
     assert [len(t) for t in single] == [8, 8]
     assert fused == single
+
+
+def test_mla_engine_tp_matches_single(tiny_dsv3, monkeypatch):
+    """TP over MLA (real-V3 serving shape): q heads / W_UK / W_UV / o_proj
+    shard over 'tp', the latent cache replicates — tokens must match the
+    single-device engine exactly."""
+    import jax
+    from hydrainfer_tpu.cluster.node import NodeConfig
+    from hydrainfer_tpu.engine.request_processor import RequestProcessorConfig
+    from hydrainfer_tpu.engine.scheduler import BatchSchedulerConfig
+    from hydrainfer_tpu.entrypoint.offline import OfflineEngine
+    from hydrainfer_tpu.models.deepseek_v3 import DeepSeekModelFactory
+    from hydrainfer_tpu.models.tokenizer import SimpleTokenizer
+    from hydrainfer_tpu.request import Request, SamplingParameters
+
+    path, _ = tiny_dsv3
+    monkeypatch.setattr(
+        DeepSeekModelFactory, "getTokenizer",
+        lambda self: SimpleTokenizer(image_token="<image>",
+                                     image_token_id=0, eos_token_id=1))
+
+    def run(devices=None):
+        factory = DeepSeekModelFactory(
+            ModelFactoryConfig(path=path, dtype="float32",
+                               attention_impl="jnp"), None)
+        cfg = NodeConfig(
+            batch_scheduler=BatchSchedulerConfig(max_running_requests=4),
+            request_processor=RequestProcessorConfig(
+                num_request_process_workers=1, block_size=4),
+            kv_block_size=4, n_kv_blocks=128, n_image_blocks=1)
+        cfg.model.dtype = "fp32"
+        engine = OfflineEngine(cfg, model_factory=factory, node_type="PD",
+                               devices=devices)
+        reqs = [Request(request_id=f"r{i}", prompt=p,
+                        sampling_params=SamplingParameters(max_tokens=8,
+                                                           ignore_eos=True))
+                for i, p in enumerate(["! %&", "&&! %%"])]
+        outs = engine.generate(reqs, timeout_s=600)
+        return [o.output_token_ids for o in outs]
+
+    single = run()
+    tp = run(devices=jax.devices()[:4])   # 4 q heads over tp=4
+    assert [len(t) for t in single] == [8, 8]
+    assert tp == single
