@@ -96,6 +96,15 @@ class NodeConfig:
     # decode Fills or KV blocks; under adaptive_postprocess the window also
     # shrinks at light load (streaming latency over throughput).
     multi_step_decode: int = 8
+    # n-gram speculative decoding (prompt-lookup; greedy batches only):
+    # propose up to this many draft tokens per request from the request's
+    # own context and verify them in ONE device step — each accepted draft
+    # is a ~free token (decode is weight-read-bound). 0 = off. The verify
+    # step is synchronous (acceptance gates the cursor), so it suits
+    # latency-bound/low-batch serving; the fused window remains the
+    # throughput path.
+    spec_ngram_k: int = 0
+    spec_ngram_n: int = 3
     # run fill postprocessing on a background thread instead (not the
     # default: on small hosts the reader thread starves the runtime's I/O)
     threaded_postprocess: bool = False
@@ -376,22 +385,32 @@ class AsyncEPDNode:
         embed_future = self.executor.execute_image_embed(embeds) if len(embeds) \
             else self.executor.execute_empty(embeds)
         if len(fills):
-            n_steps = self.config.multi_step_decode
-            if self.config.adaptive_postprocess and n_steps > 1:
-                # same load policy as the read batching: full fused window
-                # when throughput-bound, single steps when streaming-bound
-                n_steps = min(n_steps, adaptive_postprocess_k(
-                    self.batch_scheduler.n_resident,
-                    len(self.batch_scheduler.waiting),
-                    self.batch_scheduler.config.max_running_requests,
-                    n_steps))
-            fut = self.executor.execute_fill(fills, n_steps=n_steps)
-            if self._post_pool is not None:
-                # hand the device→host read to the reader thread; the step
-                # loop keeps dispatching
-                self._pending_fills.append(self._post_pool.submit(fut.get))
-            else:
-                self._pending_fills.append(fut)
+            spec_done = False
+            if self.config.spec_ngram_k > 0:
+                # synchronous verify path: earlier steps must have
+                # postprocessed first (token order + proposer context)
+                self.flush_fills()
+                spec_done = self.executor.fill_executor.execute_spec(
+                    fills, self.config.spec_ngram_k,
+                    self.config.spec_ngram_n) is not None
+            if not spec_done:
+                n_steps = self.config.multi_step_decode
+                if self.config.adaptive_postprocess and n_steps > 1:
+                    # same load policy as the read batching: full fused
+                    # window when throughput-bound, single steps when
+                    # streaming-bound
+                    n_steps = min(n_steps, adaptive_postprocess_k(
+                        self.batch_scheduler.n_resident,
+                        len(self.batch_scheduler.waiting),
+                        self.batch_scheduler.config.max_running_requests,
+                        n_steps))
+                fut = self.executor.execute_fill(fills, n_steps=n_steps)
+                if self._post_pool is not None:
+                    # hand the device→host read to the reader thread; the
+                    # step loop keeps dispatching
+                    self._pending_fills.append(self._post_pool.submit(fut.get))
+                else:
+                    self._pending_fills.append(fut)
         else:
             self.flush_fills()
         self.executor.execute_empty(empties)

@@ -25,12 +25,14 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..memory import TokenCacheBlockManager
-from ..models.factory import (ModelFactory, VisionModelParameters)
+from ..models.factory import (FillDims, ModelFactory, VisionModelParameters,
+                              pack_fill_batch)
 from ..ops.cache_ops import write_token_cache
 from ..utils.logger import getLogger
 from .isa import Fill, ImageEmbed, ImageEmbedFill
-from .params_builder import (LanguageModelBatchBuilder, bucket_of,
-                             TOKEN_BUCKETS)
+from .params_builder import (FillBatchPlan, LanguageModelBatchBuilder,
+                             SEQ_BUCKETS, TOKEN_BUCKETS, _next_pow2,
+                             bucket_of)
 from .rcb import BatchRequest
 from .worker import Worker
 
@@ -205,6 +207,195 @@ class FillExecutor:
         for (rcb, inst), k in zip(batch, ks):
             self.kv.realloc(rcb.virtual_kv_cache, inst.cache_ids[0] + k)
         return n_steps, ks
+
+    # ---------------- n-gram speculative decoding ----------------
+
+    @staticmethod
+    def propose_ngram(ctx, k: int, n: int = 3):
+        """Prompt-lookup draft: continuation of the latest earlier
+        occurrence of the context's trailing n-gram (n, then 2)."""
+        L = len(ctx)
+        for nn in (n, 2):
+            if L < nn + 1:
+                continue
+            pat = ctx[-nn:]
+            for i in range(L - nn - 1, -1, -1):
+                if ctx[i:i + nn] == pat:
+                    cont = ctx[i + nn:i + nn + k]
+                    if cont:
+                        return cont
+        return []
+
+    def _spec_context(self, rcb) -> list:
+        """Token history for the proposer: prompt fills' literals (cached —
+        the prompt is immutable) + generated tokens."""
+        base = getattr(rcb, "_spec_ctx_base", None)
+        if base is None:
+            base = []
+            node = rcb.instructions.head.next
+            while node is not None:
+                if isinstance(node, Fill) and node.token_ids \
+                        and len(node.token_ids) > 1:
+                    base.extend(int(t) for t in node.token_ids)
+                node = node.next
+            rcb._spec_ctx_base = base
+        return base + rcb.output_token_ids
+
+    def execute_spec(self, batch: BatchRequest, k_draft: int,
+                     ngram_n: int = 3):
+        """Speculative verify step (greedy batches only): every request
+        contributes 1 real row + up to k_draft proposed rows, verified in
+        ONE device program (decode is weight-read-bound, so the extra rows
+        are nearly free; each accepted draft is a free token). Returns None
+        when the batch is ineligible or no request has a draft — the
+        caller falls back to the normal (fused) path. SYNCHRONOUS: the
+        accepted count gates the cursor advance, so this path drains the
+        async pipeline rather than running ahead of it."""
+        if not self.worker.supports_multi_step():
+            return None
+        K1 = k_draft + 1
+        drafts = []
+        for rcb, inst in batch:
+            sp = rcb.sampling_params
+            if sp is not None and sp.temperature and sp.temperature > 0:
+                return None     # rejection sampling not wired: greedy only
+            if (not isinstance(inst, Fill) or isinstance(inst, ImageEmbedFill)
+                    or len(inst.position_ids) != 1
+                    or not inst.sample or inst.is_chunked):
+                return None
+            # the chain must hold k_draft+1 consecutive decode fills so any
+            # acceptance outcome has its instructions pre-created
+            k, node = 0, inst
+            prev_p, prev_c = inst.position_ids[0] - 1, inst.cache_ids[0] - 1
+            while (k < K1 and isinstance(node, Fill)
+                   and not isinstance(node, ImageEmbedFill)
+                   and len(node.position_ids) == 1 and node.sample
+                   and not node.is_chunked
+                   and node.position_ids[0] == prev_p + 1
+                   and node.cache_ids[0] == prev_c + 1):
+                prev_p, prev_c = node.position_ids[0], node.cache_ids[0]
+                k += 1
+                node = node.next
+            if k < K1:
+                return None
+            drafts.append(self.propose_ngram(self._spec_context(rcb),
+                                             k_draft, ngram_n))
+        if not any(drafts):
+            return None
+        # look-ahead blocks; bail (don't shrink) under pressure
+        bs = self.kv.block_size
+        need = 0
+        for rcb, inst in batch:
+            target = inst.cache_ids[0] + K1
+            need += max(0, -(-target // bs)
+                        - len(rcb.virtual_kv_cache.block_table))
+        if need > self.kv.n_available_blocks():
+            return None
+        for rcb, inst in batch:
+            self.kv.realloc(rcb.virtual_kv_cache, inst.cache_ids[0] + K1)
+            self.acquire_slot(rcb)
+
+        plan = self._build_spec_plan(batch, drafts, K1)
+        image_cache = (self.image.cache_array if self.image is not None
+                       else self._dummy_image_cache)
+        cache_in = self.kv.cache_ref if self.kv.use_ref else self.kv.cache_array
+        out = self.worker.execute_language_model(
+            cache_in, self.token_table, jnp.asarray(plan.flat),
+            image_cache, plan.dims)
+        if out.cache is not None and not isinstance(out.cache, jax.Ref):
+            self.kv.cache_array = out.cache
+        self.token_table = out.token_table
+
+        tok = np.asarray(out.sample_token_ids).reshape(-1, K1)[:len(drafts)]
+        token_time = time.perf_counter()
+        for i, (rcb, _) in enumerate(batch):
+            draft = drafts[i]
+            acc = 0
+            while acc < len(draft) and tok[i, acc] == draft[acc]:
+                acc += 1
+            for j in range(acc + 1):
+                inst = rcb.current_instruction()
+                if inst.sample_dst is not None:
+                    inst.sample_dst.token_ids = [int(tok[i, j])]
+                rcb.step()
+                if _tokens_done(rcb):
+                    continue
+                rcb.metric.token_times.append(token_time)
+                rcb.output_token_ids.append(int(tok[i, j]))
+                is_last = _tokens_done(rcb)
+                for proc in rcb.output_token_processors:
+                    proc.append_token_id(int(tok[i, j]), is_last)
+        return EmptyFuture()
+
+    def _build_spec_plan(self, batch: BatchRequest, drafts, K1: int):
+        """Uniform S x K1 verify segments (python-packed; the spec batch
+        shape differs too much from the native packer's fill layout)."""
+        S_used = len(drafts)
+        n_tokens = S_used * K1
+        dims_T = bucket_of(n_tokens, TOKEN_BUCKETS)
+        S = max(bucket_of(S_used, SEQ_BUCKETS), _next_pow2(self._s_highwater))
+        MB = max(_next_pow2(max(len(r.virtual_kv_cache.block_table)
+                                for r, _ in batch)),
+                 _next_pow2(self._mb_highwater))
+        self._mb_highwater = max(self._mb_highwater, MB)
+        T = max(dims_T, bucket_of(S * K1, TOKEN_BUCKETS))
+
+        token_ids = np.zeros(T, np.int32)
+        token_src = np.full(T, -1, np.int32)
+        positions = np.zeros(T, np.int32)
+        new_slots = np.full(T, -1, np.int32)
+        q_seq_ids = np.full(T, -1, np.int32)
+        q_local_ids = np.zeros(T, np.int32)
+        kv_lens = np.zeros(S, np.int32)
+        tables = np.full((S, MB), -1, np.int32)
+        sample_idx = np.full(S, -1, np.int32)
+        dst_slots = np.full(S, -1, np.int32)
+        cu = np.zeros(S + 1, np.int32)
+        draft_lens = np.zeros(S, np.int32)
+
+        for s, ((rcb, inst), draft) in enumerate(zip(batch, drafts)):
+            r0 = s * K1
+            c0, p0 = inst.cache_ids[0], inst.position_ids[0]
+            dl = len(draft)
+            if inst.token_ids[0] >= 0:       # host-resolved literal
+                token_ids[r0] = inst.token_ids[0]
+            else:                            # device token-table feedback
+                token_src[r0] = rcb.token_slot
+            for j, d in enumerate(draft):
+                token_ids[r0 + 1 + j] = d
+            slots = self.kv.v2p(rcb.virtual_kv_cache,
+                                list(range(c0, c0 + 1 + dl)))
+            for j in range(K1):
+                q_seq_ids[r0 + j] = s
+                q_local_ids[r0 + j] = j
+                positions[r0 + j] = p0 + j
+                if j <= dl:
+                    new_slots[r0 + j] = slots[j]
+            kv_lens[s] = c0 + K1
+            bt = rcb.virtual_kv_cache.block_table
+            tables[s, :len(bt)] = bt
+            sample_idx[s] = r0 + K1 - 1
+            dst_slots[s] = rcb.token_slot
+            draft_lens[s] = dl
+            cu[s + 1] = r0 + K1
+        cu[S_used + 1:] = cu[S_used]
+
+        dims = FillDims(T=T, S=S, MB=MB, Ti=0, max_q=_next_pow2(K1),
+                        sampling=False, spec=K1)
+        flat = pack_fill_batch(
+            token_ids=token_ids, positions=positions, q_seq_ids=q_seq_ids,
+            q_local_ids=q_local_ids, new_kv_slot_ids=new_slots,
+            token_src_slots=token_src, kv_lens=kv_lens,
+            sample_token_idx=sample_idx, sample_dst_slots=dst_slots,
+            block_tables=tables, cu_q_lens=cu,
+            num_seqs=np.asarray([S_used], np.int32),
+            image_slot_ids=np.zeros(0, np.int32),
+            image_dst_idx=np.zeros(0, np.int32), dims=dims)
+        flat = np.concatenate([flat, draft_lens])
+        return FillBatchPlan(flat=flat, dims=dims,
+                             seq_rcbs=[r for r, _ in batch],
+                             seq_insts=[i for _, i in batch],
+                             n_tokens=n_tokens, n_seqs=S_used)
 
     def execute(self, batch: BatchRequest, n_steps: int = 1) -> Future:
         if len(batch) == 0:

@@ -345,7 +345,8 @@ def decoder_forward(weights: dict, cache: jax.Array, batch: LanguageModelBatch,
                     cos_tab: jax.Array, sin_tab: jax.Array, cfg: DecoderConfig,
                     max_q: int, input_embeds: Optional[jax.Array] = None,
                     return_logits: bool = False,
-                    token_table: Optional[jax.Array] = None):
+                    token_table: Optional[jax.Array] = None,
+                    spec: int = 0):
     """Full LM step. Returns (cache, token_table, sampled_token_ids[, logits]).
 
     weights layout: {"embed", "layers_segments" (stacked scan segments),
@@ -399,7 +400,8 @@ def decoder_forward(weights: dict, cache: jax.Array, batch: LanguageModelBatch,
         last_cache, last_layer_id = cache[-1], 0
         return _last_layer_and_head(
             weights, cache, last_cache, last_layer_id, x, batch, cos, sin,
-            cfg, max_q, token_table, return_logits, is_ref, per_layer)
+            cfg, max_q, token_table, return_logits, is_ref, per_layer,
+            spec=spec)
 
     is_ref = isinstance(cache, jax.Ref)
 
@@ -429,7 +431,7 @@ def decoder_forward(weights: dict, cache: jax.Array, batch: LanguageModelBatch,
 
     return _last_layer_and_head(
         weights, cache, cache, cfg.n_layers - 1, x, batch, cos, sin,
-        cfg, max_q, token_table, return_logits, is_ref, False)
+        cfg, max_q, token_table, return_logits, is_ref, False, spec=spec)
 
 
 def decoder_forward_multi(weights, cache, batch: LanguageModelBatch,
@@ -539,7 +541,7 @@ def decoder_forward_multi(weights, cache, batch: LanguageModelBatch,
 
 def _last_layer_and_head(weights, cache, last_cache, last_layer_id, x, batch,
                          cos, sin, cfg: DecoderConfig, max_q, token_table,
-                         return_logits, is_ref, per_layer):
+                         return_logits, is_ref, per_layer, spec: int = 0):
     # last layer: attention sees all T tokens (their KV must be appended),
     # then only the sampled rows continue through the MLP and head
     sample_idx = jnp.maximum(batch.sample_token_idx, 0)
@@ -553,10 +555,14 @@ def _last_layer_and_head(weights, cache, last_cache, last_layer_id, x, batch,
             cache = list(cache[:-1]) + [last_cache]
         else:
             cache = last_cache
+        cache_out = None if is_ref else cache
+        if spec > 0:
+            token_table, tokens = _spec_verify_head(weights, x, batch, cfg,
+                                                    token_table, spec)
+            return cache_out, token_table, tokens
         x = jnp.take(x, sample_idx, axis=0)
         token_table, tokens, logits = _final_head(weights, x, batch, cfg,
                                                   token_table)
-        cache_out = None if is_ref else cache
         if return_logits:
             return cache_out, token_table, tokens, logits
         return cache_out, token_table, tokens
@@ -591,6 +597,16 @@ def _last_layer_and_head(weights, cache, last_cache, last_layer_id, x, batch,
     else:
         cache = last_cache
     x = x + qmatmul(attn.reshape(T, Hq * D), lw["o_proj"])
+    if spec > 0:
+        # speculative verify: EVERY row's next-token matters, so the
+        # discard is skipped and the head runs on all T rows (decode is
+        # weight-read-bound — the extra rows are nearly free, which is the
+        # whole speculative-decoding bet)
+        h = rms_norm(x, lw["post_norm"], cfg.rms_norm_eps)
+        x = x + _mlp(h, lw, cfg)
+        token_table, tokens = _spec_verify_head(weights, x, batch, cfg,
+                                                token_table, spec)
+        return (None if is_ref else cache), token_table, tokens
     x = jnp.take(x, sample_idx, axis=0)                  # token discard
     h = rms_norm(x, lw["post_norm"], cfg.rms_norm_eps)
     x = x + _mlp(h, lw, cfg)
@@ -601,6 +617,36 @@ def _last_layer_and_head(weights, cache, last_cache, last_layer_id, x, batch,
     if return_logits:
         return cache_out, token_table, tokens, logits
     return cache_out, token_table, tokens
+
+
+def _spec_verify_head(weights, x, batch, cfg: DecoderConfig, token_table,
+                      K1: int):
+    """Verification head for n-gram speculative decoding (greedy only).
+
+    The batch is S uniform segments of K1 = 1 + K_draft rows: row 0 is the
+    real next-token input, rows 1..K are host-proposed draft tokens
+    (prompt-lookup). tok[i] = argmax after consuming row i; draft i is
+    accepted iff tok[i-1] == draft[i] and every earlier draft was accepted.
+    The device writes the LAST accepted token (the one the next step
+    consumes) into the token table; the host re-derives the acceptance from
+    the returned (S*K1,) token matrix — same math, no extra sync. Rejected
+    rows' KV entries are garbage BEYOND the accepted kv_len, which the next
+    step overwrites/ignores (paged slots are position-addressed), so no
+    rollback is needed."""
+    h = rms_norm(x, weights["norm"], cfg.rms_norm_eps)
+    logits = qmatmul_f32(h, weights["lm_head"])
+    tokens = jnp.argmax(logits, axis=-1).astype(jnp.int32)   # (T,)
+    S = batch.sample_dst_slots.shape[0]
+    tok = tokens[: S * K1].reshape(S, K1)     # T is bucket-padded past S*K1
+    ids = batch.token_ids[: S * K1].reshape(S, K1)  # drafts at cols 1..K
+    dl = jnp.clip(batch.draft_lens, 0, K1 - 1)               # (S,)
+    match = (tok[:, :-1] == ids[:, 1:]).astype(jnp.int32)
+    acc = jnp.minimum(jnp.cumprod(match, axis=1).sum(axis=1), dl)
+    final = jnp.take_along_axis(tok, acc[:, None], axis=1)[:, 0]
+    dst = batch.sample_dst_slots
+    dst = jnp.where(dst < 0, token_table.shape[0], dst)
+    token_table = token_table.at[dst].set(final, mode="drop")
+    return token_table, tok.reshape(-1)
 
 
 def _final_head(weights, x, batch, cfg: DecoderConfig, token_table):

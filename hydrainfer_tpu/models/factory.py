@@ -104,6 +104,8 @@ class LanguageModelBatch:
     sample_seed: jax.Array = None
     # (2, T) h/w position streams for multimodal RoPE (None = 1D rope)
     positions_hw: jax.Array = None
+    # (S,) real draft length per seq for speculative verify (None = n/a)
+    draft_lens: jax.Array = None
 
 
 @dataclass
@@ -127,6 +129,9 @@ class FillDims:
     # True when the batch carries h/w position streams for multimodal RoPE
     # (Qwen2-VL M-RoPE): the flat buffer gains a 2*T tail after the core
     mrope: bool = False
+    # speculative-verify segment length (1 + K_draft); 0 = normal fill.
+    # The flat buffer gains an S-length draft_lens tail after mrope
+    spec: int = 0
 
 
 def pack_fill_batch(token_ids, positions, q_seq_ids, q_local_ids,
@@ -180,6 +185,7 @@ def unpack_fill_batch(flat: jax.Array, image_cache: jax.Array,
         positions_hw = take(2 * T).reshape(2, T)
     else:
         positions_hw = None
+    draft_lens = take(S) if dims.spec > 0 else None
     # sampling tail (appended after the core buffer by the builder)
     if dims.sampling:
         temperatures = jax.lax.bitcast_convert_type(take(S), jnp.float32)
@@ -219,6 +225,7 @@ def unpack_fill_batch(flat: jax.Array, image_cache: jax.Array,
         top_ps=top_ps,
         sample_seed=sample_seed,
         positions_hw=positions_hw,
+        draft_lens=draft_lens,
     )
 
 

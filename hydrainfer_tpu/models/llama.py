@@ -132,6 +132,23 @@ class LlamaForCausalLM(LanguageModel):
             _flat_multi_fn, static_argnames=("dims", "n_steps"),
             donate_argnames=("cache", "token_table"))
 
+        def _flat_spec_fn(weights, cache, token_table, flat, image_cache,
+                          cos_tab, sin_tab, dims):
+            from .factory import unpack_fill_batch
+            batch = unpack_fill_batch(flat, image_cache, dims, cfg.hidden_size)
+            return decoder_forward(weights, cache, batch, cos_tab, sin_tab,
+                                   cfg, dims.max_q, token_table=token_table,
+                                   spec=dims.spec)
+
+        # speculative verify: S uniform (1 + K_draft)-row segments, argmax
+        # at every row, device-side acceptance into the token table
+        self._flat_spec = jax.jit(
+            _flat_spec_fn, static_argnames=("dims",),
+            donate_argnames=("token_table",))
+        self._flat_spec_value = jax.jit(
+            _flat_spec_fn, static_argnames=("dims",),
+            donate_argnames=("cache", "token_table"))
+
     def shard_to(self, mesh) -> None:
         """Tensor-parallel placement: megatron-style NamedShardings on the
         weight pytree (parallel/mesh.py); XLA SPMD inserts the collectives,
@@ -207,6 +224,16 @@ class LlamaForCausalLM(LanguageModel):
         if getattr(self, "_pp_mesh", None) is not None:
             cache, token_table, tokens = self._flat_pp(
                 self._pp_weights, cache, token_table, flat, image_cache,
+                self.cos_tab, self.sin_tab, dims=dims)
+            return LanguageModelOutput(sample_token_ids=tokens, cache=cache,
+                                       token_table=token_table)
+        if getattr(dims, "spec", 0) > 0:
+            is_ref = isinstance(cache, jax.Ref) or (
+                isinstance(cache, (list, tuple)) and len(cache) > 0
+                and isinstance(cache[0], jax.Ref))
+            step = self._flat_spec if is_ref else self._flat_spec_value
+            cache, token_table, tokens = step(
+                self.weights, cache, token_table, flat, image_cache,
                 self.cos_tab, self.sin_tab, dims=dims)
             return LanguageModelOutput(sample_token_ids=tokens, cache=cache,
                                        token_table=token_table)
