@@ -105,6 +105,10 @@ class NodeConfig:
     # throughput path.
     spec_ngram_k: int = 0
     spec_ngram_n: int = 3
+    # speculate only when the resident batch is at most this large: the
+    # verify step is synchronous (drains the async pipeline), so it trades
+    # throughput for latency — a trade that only wins when latency-bound
+    spec_max_batch: int = 8
     # run fill postprocessing on a background thread instead (not the
     # default: on small hosts the reader thread starves the runtime's I/O)
     threaded_postprocess: bool = False
@@ -386,7 +390,8 @@ class AsyncEPDNode:
             else self.executor.execute_empty(embeds)
         if len(fills):
             spec_done = False
-            if self.config.spec_ngram_k > 0:
+            if (self.config.spec_ngram_k > 0
+                    and len(fills) <= self.config.spec_max_batch):
                 # synchronous verify path: earlier steps must have
                 # postprocessed first (token order + proposer context)
                 self.flush_fills()
