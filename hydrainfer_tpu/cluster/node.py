@@ -258,11 +258,15 @@ class AsyncEPDNode:
         unrolled = (getattr(lm_cfg, "layer_loop", "scan") == "unroll"
                     and not (self.mesh is not None
                              and self.context.parallel == "pp"))
+        # MLA latent caches hold ONE plane per token (kv_single_plane);
+        # everything else interleaves K/V on the head axis (2x)
+        kv_heads = (lc.n_kv_heads if getattr(lc, "kv_single_plane", False)
+                    else 2 * lc.n_kv_heads)
         kv_cfg = TokenCacheBlockManagerConfig(
             n_layers=lc.n_layers, n_tensors=1,
             n_blocks=max(self.config.n_kv_blocks, 1),
             block_size=self.config.kv_block_size,
-            n_heads=2 * lc.n_kv_heads, head_dim=lc.head_dim,
+            n_heads=kv_heads, head_dim=lc.head_dim,
             dtype=kv_dtype,
             per_layer=unrolled,
             # jax.Ref in-place cache: avoids scan-carry copies (~3ms/GB per
@@ -390,12 +394,16 @@ class AsyncEPDNode:
             else self.executor.execute_empty(embeds)
         if len(fills):
             spec_done = False
+            fx = self.executor.fill_executor
             if (self.config.spec_ngram_k > 0
-                    and len(fills) <= self.config.spec_max_batch):
-                # synchronous verify path: earlier steps must have
-                # postprocessed first (token order + proposer context)
+                    and len(fills) <= self.config.spec_max_batch
+                    and fx.spec_precheck(fills, self.config.spec_ngram_k)):
+                # the cheap precheck gates the (synchronous) verify path so
+                # never-speculating workloads don't pay the pipeline drain;
+                # the drain itself must precede the proposer (token order +
+                # context completeness)
                 self.flush_fills()
-                spec_done = self.executor.fill_executor.execute_spec(
+                spec_done = fx.execute_spec(
                     fills, self.config.spec_ngram_k,
                     self.config.spec_ngram_n) is not None
             if not spec_done:

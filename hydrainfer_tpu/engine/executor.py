@@ -168,23 +168,7 @@ class FillExecutor:
                     or len(inst.position_ids) != 1
                     or not inst.sample or inst.is_chunked):
                 return 1, None
-            # count consecutive decode Fills whose rope position AND cache
-            # slot both advance by exactly 1 (the device advances both
-            # streams itself; an absolute pos/cache OFFSET is fine — under
-            # M-RoPE image runs compress rope positions below cache ids)
-            k, node = 0, rcb.instructions.curr
-            prev_p = inst.position_ids[0] - 1
-            prev_c = inst.cache_ids[0] - 1
-            while (k < n_steps and isinstance(node, Fill)
-                   and not isinstance(node, ImageEmbedFill)
-                   and len(node.position_ids) == 1 and node.sample
-                   and not node.is_chunked
-                   and node.position_ids[0] == prev_p + 1
-                   and node.cache_ids[0] == prev_c + 1):
-                prev_p, prev_c = node.position_ids[0], node.cache_ids[0]
-                k += 1
-                node = node.next
-            ks.append(k)
+            ks.append(self._decode_chain_len(inst, n_steps))
         if max(ks) <= 1:
             return 1, None
         # realloc the look-ahead blocks; shrink the window under pressure
@@ -213,18 +197,65 @@ class FillExecutor:
     @staticmethod
     def propose_ngram(ctx, k: int, n: int = 3):
         """Prompt-lookup draft: continuation of the latest earlier
-        occurrence of the context's trailing n-gram (n, then 2)."""
-        L = len(ctx)
+        occurrence of the context's trailing n-gram (n, then 2).
+        Vectorized — this runs on the synchronous verify path's critical
+        section, so a pure-Python O(context) scan would erode the latency
+        win on long contexts."""
+        a = np.asarray(ctx, np.int32)
+        L = a.shape[0]
         for nn in (n, 2):
             if L < nn + 1:
                 continue
-            pat = ctx[-nn:]
-            for i in range(L - nn - 1, -1, -1):
-                if ctx[i:i + nn] == pat:
-                    cont = ctx[i + nn:i + nn + k]
-                    if cont:
-                        return cont
+            pat = a[-nn:]
+            hits = a[: L - 1 - (nn - 1)] == pat[0]
+            for j in range(1, nn):
+                hits &= a[j: L - 1 - (nn - 1) + j] == pat[j]
+            idx = np.flatnonzero(hits)
+            if idx.size:
+                i = int(idx[-1])
+                cont = a[i + nn: i + nn + k]
+                if cont.size:
+                    return [int(t) for t in cont]
         return []
+
+    @staticmethod
+    def _decode_chain_len(inst, limit: int) -> int:
+        """Length of the consecutive single-token-decode Fill run starting
+        at inst: rope position AND cache slot advance by exactly 1 per node
+        (an absolute pos/cache offset is fine — M-RoPE compresses rope
+        positions below cache ids). Shared by the fused window and the
+        speculative verify eligibility walks."""
+        k, node = 0, inst
+        prev_p, prev_c = inst.position_ids[0] - 1, inst.cache_ids[0] - 1
+        while (k < limit and isinstance(node, Fill)
+               and not isinstance(node, ImageEmbedFill)
+               and len(node.position_ids) == 1 and node.sample
+               and not node.is_chunked
+               and node.position_ids[0] == prev_p + 1
+               and node.cache_ids[0] == prev_c + 1):
+            prev_p, prev_c = node.position_ids[0], node.cache_ids[0]
+            k += 1
+            node = node.next
+        return k
+
+    def spec_precheck(self, batch: BatchRequest, k_draft: int) -> bool:
+        """Cheap eligibility test (no proposer, no token state): lets the
+        node avoid draining the async pipeline for batches that can never
+        speculate (prefill/chunked fills, stochastic sampling, short
+        chains)."""
+        if not self.worker.supports_multi_step():
+            return False
+        for rcb, inst in batch:
+            sp = rcb.sampling_params
+            if sp is not None and sp.temperature and sp.temperature > 0:
+                return False
+            if (not isinstance(inst, Fill) or isinstance(inst, ImageEmbedFill)
+                    or len(inst.position_ids) != 1
+                    or not inst.sample or inst.is_chunked):
+                return False
+            if self._decode_chain_len(inst, k_draft + 1) < k_draft + 1:
+                return False
+        return True
 
     def _spec_context(self, rcb) -> list:
         """Token history for the proposer: prompt fills' literals (cached —
@@ -251,48 +282,27 @@ class FillExecutor:
         caller falls back to the normal (fused) path. SYNCHRONOUS: the
         accepted count gates the cursor advance, so this path drains the
         async pipeline rather than running ahead of it."""
-        if not self.worker.supports_multi_step():
+        if not self.spec_precheck(batch, k_draft):
             return None
         K1 = k_draft + 1
-        drafts = []
-        for rcb, inst in batch:
-            sp = rcb.sampling_params
-            if sp is not None and sp.temperature and sp.temperature > 0:
-                return None     # rejection sampling not wired: greedy only
-            if (not isinstance(inst, Fill) or isinstance(inst, ImageEmbedFill)
-                    or len(inst.position_ids) != 1
-                    or not inst.sample or inst.is_chunked):
-                return None
-            # the chain must hold k_draft+1 consecutive decode fills so any
-            # acceptance outcome has its instructions pre-created
-            k, node = 0, inst
-            prev_p, prev_c = inst.position_ids[0] - 1, inst.cache_ids[0] - 1
-            while (k < K1 and isinstance(node, Fill)
-                   and not isinstance(node, ImageEmbedFill)
-                   and len(node.position_ids) == 1 and node.sample
-                   and not node.is_chunked
-                   and node.position_ids[0] == prev_p + 1
-                   and node.cache_ids[0] == prev_c + 1):
-                prev_p, prev_c = node.position_ids[0], node.cache_ids[0]
-                k += 1
-                node = node.next
-            if k < K1:
-                return None
-            drafts.append(self.propose_ngram(self._spec_context(rcb),
-                                             k_draft, ngram_n))
+        drafts = [self.propose_ngram(self._spec_context(rcb), k_draft,
+                                     ngram_n)
+                  for rcb, _ in batch]
         if not any(drafts):
             return None
-        # look-ahead blocks; bail (don't shrink) under pressure
+        # per-request look-ahead blocks (only to each draft's own depth);
+        # bail (don't shrink) under pressure
         bs = self.kv.block_size
         need = 0
-        for rcb, inst in batch:
-            target = inst.cache_ids[0] + K1
+        for (rcb, inst), draft in zip(batch, drafts):
+            target = inst.cache_ids[0] + 1 + len(draft)
             need += max(0, -(-target // bs)
                         - len(rcb.virtual_kv_cache.block_table))
         if need > self.kv.n_available_blocks():
             return None
-        for rcb, inst in batch:
-            self.kv.realloc(rcb.virtual_kv_cache, inst.cache_ids[0] + K1)
+        for (rcb, inst), draft in zip(batch, drafts):
+            self.kv.realloc(rcb.virtual_kv_cache,
+                            inst.cache_ids[0] + 1 + len(draft))
             self.acquire_slot(rcb)
 
         plan = self._build_spec_plan(batch, drafts, K1)
@@ -337,6 +347,7 @@ class FillExecutor:
         MB = max(_next_pow2(max(len(r.virtual_kv_cache.block_table)
                                 for r, _ in batch)),
                  _next_pow2(self._mb_highwater))
+        self._s_highwater = max(self._s_highwater, S)
         self._mb_highwater = max(self._mb_highwater, MB)
         T = max(dims_T, bucket_of(S * K1, TOKEN_BUCKETS))
 

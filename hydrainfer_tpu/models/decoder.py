@@ -86,6 +86,12 @@ class DecoderConfig:
     # rope table dim override (MLA ropes only mla_rope_dim of each head);
     # 0 = head_dim
     rope_head_dim: int = 0
+    # YaRN rope scaling (DeepSeek-V2/V3/R1 checkpoints all ship it):
+    # (factor, original_max_pos, beta_fast, beta_slow, attention_factor,
+    # truncate); () = plain rope. attention_factor scales cos/sin (HF
+    # modeling_rope_utils._compute_yarn_parameters); the mscale^2 softmax
+    # scale lives in mla_softmax_scale.
+    yarn: tuple = ()
     # sparse MoE MLP (0 = dense): layers carry moe_router/moe_gate_up/moe_down
     moe_top_k: int = 0
     n_experts: int = 0
@@ -97,6 +103,9 @@ class DecoderConfig:
     # sigmoid+bias), then top-k inside. 0 = plain top-k routing.
     moe_n_groups: int = 0
     moe_topk_groups: int = 0
+    # "noaux_tc" (V3: sigmoid + learned bias, groups by top-2 sum) or
+    # "group_limited_greedy" (V2: softmax, no bias, groups by max)
+    moe_group_method: str = "noaux_tc"
     # tensor-parallel mesh (set by shard_to): attention runs under shard_map
     # with q heads + cache kv-heads sharded over the 'tp' axis — the Pallas
     # ragged kernel cannot be GSPMD-partitioned, so the head axis is split
@@ -109,11 +118,40 @@ class DecoderConfig:
 
 
 def init_rope_tables(cfg: DecoderConfig):
+    import math
+
+    import numpy as np
     d = cfg.rope_head_dim or cfg.head_dim
-    inv = 1.0 / (cfg.rope_theta ** (jnp.arange(0, d, 2, dtype=jnp.float32) / d))
+    base = cfg.rope_theta
+    att = 1.0
+    if cfg.yarn:
+        # YaRN (HF modeling_rope_utils._compute_yarn_parameters): blend
+        # interpolated and extrapolated inverse frequencies with a linear
+        # ramp over the correction range, then scale cos/sin
+        factor, orig_max, bfast, bslow, att, trunc = cfg.yarn
+        pos_freqs = base ** (np.arange(0, d, 2, dtype=np.float64) / d)
+        inv_ex = 1.0 / pos_freqs
+        inv_in = 1.0 / (factor * pos_freqs)
+
+        def corr_dim(rot):
+            return (d * math.log(orig_max / (rot * 2 * math.pi))) \
+                / (2 * math.log(base))
+
+        low, high = corr_dim(bfast), corr_dim(bslow)
+        if trunc:
+            low, high = math.floor(low), math.ceil(high)
+        low, high = max(low, 0), min(high, d - 1)
+        if low == high:
+            high += 0.001
+        ramp = np.clip((np.arange(d // 2, dtype=np.float64) - low)
+                       / (high - low), 0, 1)
+        ex_f = 1.0 - ramp
+        inv = jnp.asarray(inv_in * (1 - ex_f) + inv_ex * ex_f, jnp.float32)
+    else:
+        inv = 1.0 / (base ** (jnp.arange(0, d, 2, dtype=jnp.float32) / d))
     t = jnp.arange(cfg.max_position_embeddings, dtype=jnp.float32)
     freqs = jnp.einsum("i,j->ij", t, inv)
-    return jnp.cos(freqs), jnp.sin(freqs)
+    return jnp.cos(freqs) * att, jnp.sin(freqs) * att
 
 
 def stack_layer_weights(layers: list) -> dict:
@@ -221,7 +259,21 @@ def _mla_layer(x, cache, layer_id, lw, batch: LanguageModelBatch,
     kv_vec = jnp.concatenate([c_kv[:, None, :], k_pe], axis=-1)  # (T,1,r+dr)
     bisect = cfg.bisect or _BISECT
     if "no-write" not in bisect:
-        cache = _write_kv(cache, layer_id, batch, kv_vec, kv_vec, cfg)
+        head_axis = (cache[0].shape[-2] if isinstance(cache, (list, tuple))
+                     else cache.shape[-2])
+        if head_axis == 1:
+            # single-plane latent cache: ONE [c_kv|k_pe] vector per token
+            # (the v:=k trick reads the same plane for scores and values) —
+            # the full MLA KV saving, no duplicate storage
+            from ..ops.cache_ops import write_token_cache
+            cache = write_token_cache(cache, layer_id,
+                                      batch.attention.new_kv_slot_ids,
+                                      (kv_vec,),
+                                      cache[0].shape[3]
+                                      if isinstance(cache, (list, tuple))
+                                      else cache.shape[3])
+        else:
+            cache = _write_kv(cache, layer_id, batch, kv_vec, kv_vec, cfg)
 
     scale = cfg.mla_softmax_scale or 1.0 / ((dn + dr) ** 0.5)
     if cfg.mesh is not None:
@@ -318,10 +370,18 @@ def _mlp(h: jax.Array, lw: dict, cfg: DecoderConfig) -> jax.Array:
         logits = jnp.dot(h.astype(jnp.float32),
                          lw["moe_router"].astype(jnp.float32))
         if cfg.moe_n_groups > 0:
-            weights, idx = grouped_topk_sigmoid(
-                logits, lw["moe_router_bias"], cfg.moe_n_groups,
-                cfg.moe_topk_groups, cfg.moe_top_k,
-                routed_scaling=cfg.moe_routed_scaling)
+            if cfg.moe_group_method == "group_limited_greedy":
+                from ..ops.moe import grouped_topk
+                weights, idx = grouped_topk(
+                    logits, None, cfg.moe_n_groups, cfg.moe_topk_groups,
+                    cfg.moe_top_k, scoring="softmax", group_agg="max",
+                    norm_topk=cfg.moe_norm_topk,
+                    routed_scaling=cfg.moe_routed_scaling)
+            else:
+                weights, idx = grouped_topk_sigmoid(
+                    logits, lw["moe_router_bias"], cfg.moe_n_groups,
+                    cfg.moe_topk_groups, cfg.moe_top_k,
+                    routed_scaling=cfg.moe_routed_scaling)
         else:
             weights, idx = route(logits, cfg.moe_top_k,
                                  scoring=cfg.moe_scoring,

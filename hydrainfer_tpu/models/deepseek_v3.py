@@ -36,12 +36,38 @@ def deepseek_decoder_config(text_cfg: dict, attention_impl: str = "auto",
         moe_scoring=text_cfg.get("scoring_func", "softmax"),
         moe_norm_topk=bool(text_cfg.get("norm_topk_prob", True)),
         moe_routed_scaling=float(text_cfg.get("routed_scaling_factor", 1.0)),
-        # V3's noaux_tc gate: group-limited sigmoid routing with a learned
-        # correction bias (plain top-k when topk_method isn't noaux_tc)
+        # group-limited routing: V3's noaux_tc (sigmoid + learned bias,
+        # groups by top-2 sum) and V2's group_limited_greedy (softmax, no
+        # bias, groups by max)
         moe_n_groups=(text_cfg.get("n_group", 0) or 0
-                      if text_cfg.get("topk_method", "noaux_tc") == "noaux_tc"
-                      else 0),
-        moe_topk_groups=text_cfg.get("topk_group", 0) or 0)
+                      if text_cfg.get("topk_method", "noaux_tc")
+                      in ("noaux_tc", "group_limited_greedy") else 0),
+        moe_topk_groups=text_cfg.get("topk_group", 0) or 0,
+        moe_group_method=text_cfg.get("topk_method", "noaux_tc"))
+    rs = text_cfg.get("rope_scaling") or {}
+    rs_type = rs.get("type") or rs.get("rope_type")
+    if rs and rs_type == "yarn":
+        import math
+        f = float(rs.get("factor", 1.0))
+        mscale, msad = rs.get("mscale"), rs.get("mscale_all_dim")
+
+        def _ms(scale, m=1.0):
+            return 1.0 if scale <= 1 else 0.1 * m * math.log(scale) + 1.0
+
+        att = rs.get("attention_factor")
+        if att is None:
+            att = (_ms(f, mscale) / _ms(f, msad)) if (mscale and msad) \
+                else _ms(f)
+        base = dataclasses.replace(base, yarn=(
+            f,
+            int(rs.get("original_max_position_embeddings")
+                or text_cfg.get("max_position_embeddings", 4096)),
+            float(rs.get("beta_fast") or 32),
+            float(rs.get("beta_slow") or 1),
+            float(att), bool(rs.get("truncate", True))))
+    elif rs and rs_type not in (None, "default"):
+        raise ValueError(f"unsupported rope_scaling type {rs_type!r} for "
+                         "DeepSeek — only yarn is wired")
     r = text_cfg.get("kv_lora_rank") or 0
     if r:
         # MLA: the cache holds one [c_kv | k_pe] vector per token -> kv
@@ -49,7 +75,6 @@ def deepseek_decoder_config(text_cfg: dict, attention_impl: str = "auto",
         dr = text_cfg["qk_rope_head_dim"]
         dn = text_cfg["qk_nope_head_dim"]
         scale = (dn + dr) ** -0.5
-        rs = text_cfg.get("rope_scaling") or {}
         if rs.get("mscale_all_dim"):
             import math
             f = float(rs.get("factor", 1.0))
@@ -180,7 +205,8 @@ class DeepSeekModelFactory(ModelFactory):
             n_layers=c.n_layers, max_position_embeddings=c.max_position_embeddings,
             n_qo_heads=c.n_qo_heads, n_kv_heads=c.n_kv_heads, head_dim=c.head_dim,
             eos_token_id=self.text_cfg.get("eos_token_id", 1),
-            hidden_size=c.hidden_size, vocab_size=c.vocab_size)
+            hidden_size=c.hidden_size, vocab_size=c.vocab_size,
+            kv_single_plane=c.mla_kv_lora > 0)
 
     def getProcessor(self):
         return None

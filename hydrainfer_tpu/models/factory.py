@@ -55,6 +55,9 @@ class LanguageModelConfig:
     # multimodal RoPE sections (t, h, w) — non-empty enables the per-batch
     # h/w position streams end to end (Qwen2-VL M-RoPE)
     mrope_section: tuple = ()
+    # MLA latent cache: ONE plane per token instead of interleaved K/V —
+    # the node sizes the cache head axis to n_kv_heads (not 2x)
+    kv_single_plane: bool = False
 
 
 @dataclass

@@ -198,7 +198,8 @@ class LlamaForCausalLM(LanguageModel):
             batch = unpack_fill_batch(flat, image_cache, dims, cfg.hidden_size)
             # pure-decode batches take the microbatched (GPipe) schedule —
             # every stage busy once the pipe fills — the relay otherwise
-            if dims.max_q == 1 and dims.S % mesh.shape["pp"] == 0 \
+            if dims.max_q == 1 and dims.Ti == 0 \
+                    and dims.S % mesh.shape["pp"] == 0 \
                     and dims.S >= mesh.shape["pp"]:
                 return decoder_forward_pp_decode(
                     w, cache, batch, cos_tab, sin_tab, cfg, token_table,

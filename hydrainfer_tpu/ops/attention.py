@@ -66,12 +66,14 @@ class PagedAttentionParams:
 
 
 def _gather_pages(cache: jax.Array, layer_id, tensor_id: int,
-                  block_tables: jax.Array, combined_offset: int) -> jax.Array:
+                  block_tables: jax.Array, combined_offset: int,
+                  step: int = 2) -> jax.Array:
     """Gather K or V pages into dense (S, MB*bs, KVH, D) from the
-    combined-head layout (K at even indices, V at odd)."""
+    combined-head layout (K at even indices, V at odd). step=1 reads a
+    single-plane cache (MLA latent: one vector is both K and V)."""
     tables = jnp.maximum(block_tables, 0)
     pages = cache[layer_id, tensor_id][tables]     # (S, MB, bs, 2KVH, D)
-    kv = pages[..., combined_offset::2, :]          # (S, MB, bs, KVH, D)
+    kv = pages[..., combined_offset::step, :]       # (S, MB, bs, KVH, D)
     s, mb, bs, h, d = kv.shape
     return kv.reshape(s, mb * bs, h, d)
 
@@ -92,11 +94,16 @@ def paged_attention_jnp(q: jax.Array, cache: jax.Array, layer_id,
     returns (T, H, D).
     """
     T, H, D = q.shape
-    KVH = cache.shape[-2] // 2
+    KVH = max(cache.shape[-2] // 2, 1)   # single-plane (MLA latent): 1
     S = params.n_seqs
 
-    k = _gather_pages(cache, layer_id, 0, params.block_tables, 0)
-    v = _gather_pages(cache, layer_id, 0, params.block_tables, 1)
+    if cache.shape[-2] == 1:
+        # single-plane latent cache (MLA): one vector serves as K and V
+        k = _gather_pages(cache, layer_id, 0, params.block_tables, 0, step=1)
+        v = k
+    else:
+        k = _gather_pages(cache, layer_id, 0, params.block_tables, 0)
+        v = _gather_pages(cache, layer_id, 0, params.block_tables, 1)
     if kv_scale is not None:
         k = (k.astype(jnp.float32) * kv_scale).astype(q.dtype)
         v = (v.astype(jnp.float32) * kv_scale).astype(q.dtype)
@@ -217,7 +224,10 @@ def paged_attention_tp(q: jax.Array, cache: jax.Array, layer_id,
     tp = mesh.shape.get("tp", 1)
     H = q.shape[1]
     KVH = cache.shape[-2] // 2
-    if H % tp or KVH % tp:
+    if cache.shape[-2] % 2 or H % tp or KVH % tp:
+        # indivisible kv heads (or the single-plane MLA latent cache, which
+        # replicates): GSPMD partitions the oracle along the sharded q-head
+        # operands instead of an explicit shard_map
         return paged_attention_jnp(q, cache, layer_id, params, sm_scale,
                                    max_q, kv_scale=kv_scale)
 
@@ -244,6 +254,12 @@ def paged_attention(q: jax.Array, cache: jax.Array, layer_id,
                     max_q: int, impl: str = "auto",
                     kv_scale: Optional[float] = None) -> jax.Array:
     """Handler-chain entry point. See module docstring for impl choices."""
+    if cache.shape[-2] == 1:
+        # single-plane latent cache (MLA): the interleaved-K/V kernels
+        # cannot read it — go straight to the oracle (a Pallas latent
+        # kernel is the designated follow-up)
+        return paged_attention_jnp(q, cache, layer_id, params, sm_scale,
+                                   max_q, kv_scale=kv_scale)
     if impl == "layered":
         return paged_attention_layered(
             q, cache, layer_id, params, sm_scale,

@@ -40,21 +40,26 @@ def route(router_logits: jax.Array, top_k: int, scoring: str = "softmax",
     return weights * routed_scaling, idx.astype(jnp.int32)
 
 
-def grouped_topk_sigmoid(scores_logits: jax.Array, bias: jax.Array,
-                         n_groups: int, topk_groups: int, top_k: int,
-                         routed_scaling: float = 1.0
-                         ) -> Tuple[jax.Array, jax.Array]:
-    """DeepSeek-V3 group-limited routing
-    (reference: csrc/kernel/moe/grouped_topk_sigmoid_kernel.cu and
-    hydrainfer/model/deepseek_v3.py:40-93): sigmoid scores + bias, keep only
-    the topk_groups best expert groups (scored by their top-2 sum), then
-    top-k experts inside the kept groups; weights are the UNBIASED sigmoid
-    scores normalized and scaled."""
+def grouped_topk(scores_logits: jax.Array, bias, n_groups: int,
+                 topk_groups: int, top_k: int, scoring: str = "sigmoid",
+                 group_agg: str = "top2sum", norm_topk: bool = True,
+                 routed_scaling: float = 1.0
+                 ) -> Tuple[jax.Array, jax.Array]:
+    """Group-limited routing: keep only the topk_groups best expert groups
+    (scored by their top-2 sum or max of [scores + bias]), then top-k
+    experts inside; weights are the UNBIASED scores, optionally normalized,
+    scaled. Covers DeepSeek-V3's noaux_tc (sigmoid + learned bias, top-2
+    sum) and DeepSeek-V2's group_limited_greedy (softmax, no bias, max)."""
     T, E = scores_logits.shape
-    scores = jax.nn.sigmoid(scores_logits.astype(jnp.float32))
-    biased = scores + bias.astype(jnp.float32)[None, :]
+    logits = scores_logits.astype(jnp.float32)
+    scores = (jax.nn.softmax(logits, axis=-1) if scoring == "softmax"
+              else jax.nn.sigmoid(logits))
+    biased = scores if bias is None else scores + bias.astype(jnp.float32)[None, :]
     grouped = biased.reshape(T, n_groups, E // n_groups)
-    group_score = jnp.sum(jax.lax.top_k(grouped, 2)[0], axis=-1)  # (T, G)
+    if group_agg == "max":
+        group_score = jnp.max(grouped, axis=-1)                       # (T, G)
+    else:
+        group_score = jnp.sum(jax.lax.top_k(grouped, 2)[0], axis=-1)  # (T, G)
     _, keep_groups = jax.lax.top_k(group_score, topk_groups)
     group_mask = jnp.zeros((T, n_groups), bool).at[
         jnp.arange(T)[:, None], keep_groups].set(True)
@@ -62,8 +67,22 @@ def grouped_topk_sigmoid(scores_logits: jax.Array, bias: jax.Array,
     masked = jnp.where(expert_mask, biased, -jnp.inf)
     _, idx = jax.lax.top_k(masked, top_k)
     weights = jnp.take_along_axis(scores, idx, axis=1)
-    weights = weights / jnp.maximum(jnp.sum(weights, -1, keepdims=True), 1e-20)
+    if norm_topk:
+        weights = weights / jnp.maximum(jnp.sum(weights, -1, keepdims=True),
+                                        1e-20)
     return weights * routed_scaling, idx.astype(jnp.int32)
+
+
+def grouped_topk_sigmoid(scores_logits: jax.Array, bias: jax.Array,
+                         n_groups: int, topk_groups: int, top_k: int,
+                         routed_scaling: float = 1.0
+                         ) -> Tuple[jax.Array, jax.Array]:
+    """DeepSeek-V3 noaux_tc gate
+    (reference: csrc/kernel/moe/grouped_topk_sigmoid_kernel.cu and
+    hydrainfer/model/deepseek_v3.py:40-93)."""
+    return grouped_topk(scores_logits, bias, n_groups, topk_groups, top_k,
+                        scoring="sigmoid", group_agg="top2sum",
+                        norm_topk=True, routed_scaling=routed_scaling)
 
 
 def moe_ffn(x: jax.Array, gate_up: jax.Array, down: jax.Array,

@@ -126,7 +126,13 @@ def shard_kv_cache(cache, mesh: Mesh):
     Caches whose head axis does not divide the 'tp' size (MLA: one latent
     head) replicate instead."""
     first = cache[0] if isinstance(cache, (list, tuple)) else cache
-    if first.shape[-2] % max(1, mesh.shape.get("tp", 1)):
+    # the head axis interleaves K/V planes (2 per kv head): the shardable
+    # unit is n_kv_heads = shape[-2]//2, NOT the combined axis — splitting
+    # K from V would be nonsense. Odd head axes (the single-plane MLA
+    # latent cache) always replicate.
+    heads = first.shape[-2]
+    tp = max(1, mesh.shape.get("tp", 1))
+    if heads % 2 or (heads // 2) % tp:
         spec = NamedSharding(mesh, P())
     else:
         spec = NamedSharding(mesh, P(None, None, None, None, "tp", None))

@@ -176,3 +176,29 @@ def test_mla_engine_tp_matches_single(tiny_dsv3, monkeypatch):
     tp = run(devices=jax.devices()[:4])   # 4 q heads over tp=4
     assert [len(t) for t in single] == [8, 8]
     assert tp == single
+
+
+def test_mla_yarn_token_exact_vs_hf(tmp_path_factory):
+    """Real DeepSeek checkpoints all ship YaRN rope scaling: interpolated
+    inverse frequencies + attention_factor on cos/sin + mscale^2 on the
+    softmax scale must all match HF token-for-token."""
+    path = tmp_path_factory.mktemp("tiny_dsv3_yarn")
+    cfg = transformers.DeepseekV3Config(
+        vocab_size=VOCAB, hidden_size=64, intermediate_size=96,
+        moe_intermediate_size=32, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=4,
+        n_routed_experts=8, n_shared_experts=1, num_experts_per_tok=2,
+        n_group=4, topk_group=2, routed_scaling_factor=1.0,
+        norm_topk_prob=True, first_k_dense_replace=1,
+        kv_lora_rank=16, q_lora_rank=24,
+        qk_rope_head_dim=8, qk_nope_head_dim=16, v_head_dim=16,
+        max_position_embeddings=128, rope_interleave=True,
+        rope_scaling={"type": "yarn", "factor": 2.0,
+                      "original_max_position_embeddings": 64,
+                      "mscale": 1.0, "mscale_all_dim": 1.0,
+                      "beta_fast": 32, "beta_slow": 1})
+    torch.manual_seed(7)
+    hf = transformers.DeepseekV3ForCausalLM(cfg).eval().float()
+    hf.save_pretrained(str(path), safe_serialization=True)
+    hf.generation_config.eos_token_id = None
+    _check(str(path), hf, seed=11)
