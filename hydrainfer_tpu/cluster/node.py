@@ -507,6 +507,11 @@ class AsyncEPDNode:
             if self.image_cache_manager:
                 parts.append(f"image={self.image_cache_manager.metrics()}")
             parts.append(f"sched={self.batch_scheduler.metrics()}")
+            fx = getattr(self.executor, "fill_executor", None)
+            if fx is not None and getattr(fx, "spec_steps", 0):
+                parts.append(
+                    f"spec={fx.spec_tokens}tok/{fx.spec_steps}steps "
+                    f"({fx.spec_tokens / max(fx.spec_steps, 1):.2f} tok/step)")
             logger.info(" ".join(parts))
             await asyncio.sleep(self.config.perf_monitor_interval_s)
 

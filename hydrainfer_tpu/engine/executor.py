@@ -113,6 +113,10 @@ class FillExecutor:
         # smaller batch or narrower block table triggers a new compile
         self._s_highwater = 1
         self._mb_highwater = 1
+        # speculative-decoding observability: verify steps run / tokens
+        # emitted by them / single-step-equivalent steps saved
+        self.spec_steps = 0
+        self.spec_tokens = 0
 
     def acquire_slot(self, rcb) -> None:
         if rcb.token_slot < 0:
@@ -317,12 +321,14 @@ class FillExecutor:
         self.token_table = out.token_table
 
         tok = np.asarray(out.sample_token_ids).reshape(-1, K1)[:len(drafts)]
+        self.spec_steps += 1
         token_time = time.perf_counter()
         for i, (rcb, _) in enumerate(batch):
             draft = drafts[i]
             acc = 0
             while acc < len(draft) and tok[i, acc] == draft[acc]:
                 acc += 1
+            self.spec_tokens += acc + 1
             for j in range(acc + 1):
                 inst = rcb.current_instruction()
                 if inst.sample_dst is not None:
