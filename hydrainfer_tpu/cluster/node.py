@@ -212,6 +212,15 @@ class AsyncEPDNode:
             n_image_tokens=n_img_tokens)
         image_budget = profiler.profile_image_budgets()
         token_budget = profiler.profile_token_budgets()
+        if (self.config.profiler.enabled and nt.has_kv_cache
+                and self.worker.supports_multi_step()):
+            try:
+                profiler.warm_decode(
+                    self.config.batch_scheduler.max_running_requests,
+                    max(self.config.multi_step_decode, 1))
+            except Exception:
+                logger.exception("decode warmup failed; serving will "
+                                 "compile on first requests instead")
 
         self.batch_scheduler = BatchScheduler(
             self.config.batch_scheduler,

@@ -133,6 +133,54 @@ class BatchSchedulerProfiler:
         logger.info(f"profiled image budget: {budget}")
         return budget
 
+    def warm_decode(self, n_seqs: int, k_fused: int) -> None:
+        """Pre-compile the decode-step programs serving will hit: a prefill
+        at n_seqs, the fused K-window and K/2-window, and the single-step
+        program — all at the serving batch size, so the S/MB high-water
+        floors (engine/executor.py) start at their steady-state values and
+        the first real requests pay zero compiles. Called at node startup
+        alongside the budget searches (which already warm the prefill
+        T-buckets)."""
+        if self.executor is None or self.kv is None:
+            return
+        from ..engine.rcb import BatchRequest
+        rcbs = []
+        n_prompt = 8
+        for _ in range(n_seqs):
+            rcb = RequestControlBlock()
+            rcb.sampling_params = SamplingParameters(max_tokens=k_fused + 2,
+                                                     ignore_eos=True)
+            b = InstructionListBuilder()
+            prompt = TextFill(
+                token_ids=list(np.random.randint(10, 100, size=n_prompt)),
+                position_ids=list(range(n_prompt)),
+                cache_ids=list(range(n_prompt)),
+                sample=True, sample_dst=None, hashes=None)
+            b.append(prompt)
+            last = prompt
+            for i in range(n_prompt, n_prompt + k_fused + 2):
+                d = TextFill(token_ids=[-1], position_ids=[i], cache_ids=[i],
+                             sample=True, sample_dst=None, hashes=None)
+                b.append(d)
+                last.sample_dst = d
+                last = d
+            rcb.instructions = b.build()
+            rcb.virtual_kv_cache = self.kv.allocate_virtual_cache()
+            self.kv.realloc(rcb.virtual_kv_cache, n_prompt)
+            rcbs.append(rcb)
+        try:
+            self.executor.execute_fill(BatchRequest(rcbs)).get()
+            for k in {k_fused, max(k_fused // 2, 1), 1}:
+                self.executor.execute_fill(BatchRequest(rcbs),
+                                           n_steps=k).get()
+        finally:
+            fx = getattr(self.executor, "fill_executor", None)
+            for rcb in rcbs:
+                if fx is not None:
+                    fx.release_slot(rcb)
+                self.kv.free(rcb.virtual_kv_cache)
+        logger.info(f"decode warmup done (S={n_seqs}, K={k_fused})")
+
     def profile_token_budgets(self) -> int:
         if not self.config.enabled or self.executor is None or self.kv is None:
             return self.config.default_token_budget

@@ -121,3 +121,38 @@ def test_dims_highwater_no_recompile_churn():
         assert b.S >= a.S and b.MB >= a.MB
     assert len({(d.T, d.S, d.MB, d.max_q, d.sampling)
                 for d in decode_dims[len(decode_dims) // 2:]}) <= 2
+
+
+def test_decode_warmup_precompiles_buckets():
+    """profiler.warm_decode must run the prefill + fused + single decode
+    programs at the serving batch size and leave the executor's high-water
+    dims at steady state — with no slot/block leaks."""
+    factory = RandomWeightFactory("tiny-lm")
+    cfg = NodeConfig(
+        batch_scheduler=BatchSchedulerConfig(max_running_requests=4),
+        request_processor=RequestProcessorConfig(
+            num_request_process_workers=1, block_size=4),
+        kv_block_size=4, n_kv_blocks=256, n_image_blocks=1)
+    cfg.model.dtype = "bf16"
+    engine = OfflineEngine(cfg, model_factory=factory, node_type="PD")
+    fx = engine.node.executor.fill_executor
+    kv = engine.node.kv_cache_manager
+    free_before = kv.n_available_blocks()
+    slots_before = len(fx._free_slots)
+
+    from hydrainfer_tpu.engine.profiler import (BatchSchedulerProfiler,
+                                                BatchSchedulerProfilerConfig)
+    prof = BatchSchedulerProfiler(
+        BatchSchedulerProfilerConfig(enabled=True), engine.node.executor,
+        kv, engine.node.image_cache_manager)
+    prof.warm_decode(4, 4)
+    assert fx._s_highwater >= 4
+    assert kv.n_available_blocks() == free_before
+    assert len(fx._free_slots) == slots_before
+    # engine still serves correctly afterwards
+    outs = engine.generate(
+        [Request(request_id="w0", prompt="hello there",
+                 sampling_params=SamplingParameters(max_tokens=6,
+                                                    ignore_eos=True))],
+        timeout_s=300)
+    assert len(outs[0].output_token_ids) == 6
