@@ -245,14 +245,10 @@ class FillExecutor:
     def spec_precheck(self, batch: BatchRequest, k_draft: int) -> bool:
         """Cheap eligibility test (no proposer, no token state): lets the
         node avoid draining the async pipeline for batches that can never
-        speculate (prefill/chunked fills, stochastic sampling, short
-        chains)."""
+        speculate (prefill/chunked fills, short chains)."""
         if not self.worker.supports_multi_step():
             return False
         for rcb, inst in batch:
-            sp = rcb.sampling_params
-            if sp is not None and sp.temperature and sp.temperature > 0:
-                return False
             if (not isinstance(inst, Fill) or isinstance(inst, ImageEmbedFill)
                     or len(inst.position_ids) != 1
                     or not inst.sample or inst.is_chunked):
@@ -320,14 +316,18 @@ class FillExecutor:
             self.kv.cache_array = out.cache
         self.token_table = out.token_table
 
-        tok = np.asarray(out.sample_token_ids).reshape(-1, K1)[:len(drafts)]
+        # device returns [emitted (S_pad*K1) | acc (S_pad)]: emitted[:acc]
+        # are accepted drafts, emitted[acc] the final (possibly resampled)
+        # token — acceptance is computed ON DEVICE (rejection sampling for
+        # stochastic rows), so the host just reads it
+        raw = np.asarray(out.sample_token_ids)
+        S_pad = plan.dims.S
+        tok = raw[: S_pad * K1].reshape(S_pad, K1)[:len(drafts)]
+        accs = raw[S_pad * K1:][:len(drafts)]
         self.spec_steps += 1
         token_time = time.perf_counter()
         for i, (rcb, _) in enumerate(batch):
-            draft = drafts[i]
-            acc = 0
-            while acc < len(draft) and tok[i, acc] == draft[acc]:
-                acc += 1
+            acc = int(accs[i])
             self.spec_tokens += acc + 1
             for j in range(acc + 1):
                 inst = rcb.current_instruction()
@@ -397,8 +397,11 @@ class FillExecutor:
             cu[s + 1] = r0 + K1
         cu[S_used + 1:] = cu[S_used]
 
+        sampling = any(
+            (rcb.sampling_params is not None
+             and rcb.sampling_params.temperature > 0) for rcb, _ in batch)
         dims = FillDims(T=T, S=S, MB=MB, Ti=0, max_q=_next_pow2(K1),
-                        sampling=False, spec=K1)
+                        sampling=sampling, spec=K1)
         flat = pack_fill_batch(
             token_ids=token_ids, positions=positions, q_seq_ids=q_seq_ids,
             q_local_ids=q_local_ids, new_kv_slot_ids=new_slots,
@@ -409,6 +412,22 @@ class FillExecutor:
             image_slot_ids=np.zeros(0, np.int32),
             image_dst_idx=np.zeros(0, np.int32), dims=dims)
         flat = np.concatenate([flat, draft_lens])
+        if sampling:
+            temps = np.zeros(S, np.float32)
+            top_ks = np.full(S, -1, np.int32)
+            top_ps = np.ones(S, np.float32)
+            for i, (rcb, _) in enumerate(batch):
+                sp = rcb.sampling_params
+                if sp is None:
+                    continue
+                temps[i] = sp.temperature
+                top_ks[i] = sp.top_k
+                top_ps[i] = sp.top_p
+            LanguageModelBatchBuilder._seed_counter += 1
+            seed = np.asarray([LanguageModelBatchBuilder._seed_counter],
+                              np.int32)
+            flat = np.concatenate([flat, temps.view(np.int32), top_ks,
+                                   top_ps.view(np.int32), seed])
         return FillBatchPlan(flat=flat, dims=dims,
                              seq_rcbs=[r for r, _ in batch],
                              seq_insts=[i for _, i in batch],

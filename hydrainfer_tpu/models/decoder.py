@@ -681,32 +681,39 @@ def _last_layer_and_head(weights, cache, last_cache, last_layer_id, x, batch,
 
 def _spec_verify_head(weights, x, batch, cfg: DecoderConfig, token_table,
                       K1: int):
-    """Verification head for n-gram speculative decoding (greedy only).
+    """Verification head for n-gram speculative decoding.
 
     The batch is S uniform segments of K1 = 1 + K_draft rows: row 0 is the
     real next-token input, rows 1..K are host-proposed draft tokens
-    (prompt-lookup). tok[i] = argmax after consuming row i; draft i is
-    accepted iff tok[i-1] == draft[i] and every earlier draft was accepted.
-    The device writes the LAST accepted token (the one the next step
-    consumes) into the token table; the host re-derives the acceptance from
-    the returned (S*K1,) token matrix — same math, no extra sync. Rejected
-    rows' KV entries are garbage BEYOND the accepted kv_len, which the next
-    step overwrites/ignores (paged slots are position-addressed), so no
-    rollback is needed."""
+    (prompt-lookup). Acceptance runs on device
+    (ops/sampling.py:spec_verify_tokens — exact argmax match for greedy
+    rows, distribution-preserving rejection sampling for stochastic rows);
+    the final token (the one the next step consumes) is written into the
+    token table, and [emitted (S*K1) | acc (S)] is returned for host
+    bookkeeping. Rejected rows' KV entries lie beyond the accepted kv_len
+    and are simply overwritten later (paged slots are position-addressed)
+    — no rollback."""
+    from ..ops.sampling import spec_verify_tokens
     h = rms_norm(x, weights["norm"], cfg.rms_norm_eps)
     logits = qmatmul_f32(h, weights["lm_head"])
-    tokens = jnp.argmax(logits, axis=-1).astype(jnp.int32)   # (T,)
     S = batch.sample_dst_slots.shape[0]
-    tok = tokens[: S * K1].reshape(S, K1)     # T is bucket-padded past S*K1
+    lg = logits[: S * K1].reshape(S, K1, -1)  # T is bucket-padded past S*K1
     ids = batch.token_ids[: S * K1].reshape(S, K1)  # drafts at cols 1..K
+    draft_next = jnp.concatenate(
+        [ids[:, 1:], jnp.zeros((S, 1), jnp.int32)], axis=1)
     dl = jnp.clip(batch.draft_lens, 0, K1 - 1)               # (S,)
-    match = (tok[:, :-1] == ids[:, 1:]).astype(jnp.int32)
-    acc = jnp.minimum(jnp.cumprod(match, axis=1).sum(axis=1), dl)
-    final = jnp.take_along_axis(tok, acc[:, None], axis=1)[:, 0]
+    temps = getattr(batch, "temperatures", None)
+    if temps is not None and temps.shape[0] > 0:
+        emitted, acc = spec_verify_tokens(
+            lg, draft_next, dl, temperature=temps, top_k=batch.top_ks,
+            top_p=batch.top_ps, key=jax.random.key(batch.sample_seed[0]))
+    else:
+        emitted, acc = spec_verify_tokens(lg, draft_next, dl)
+    final = emitted[jnp.arange(S), acc]
     dst = batch.sample_dst_slots
     dst = jnp.where(dst < 0, token_table.shape[0], dst)
     token_table = token_table.at[dst].set(final, mode="drop")
-    return token_table, tok.reshape(-1)
+    return token_table, jnp.concatenate([emitted.reshape(-1), acc])
 
 
 def _final_head(weights, x, batch, cfg: DecoderConfig, token_table):

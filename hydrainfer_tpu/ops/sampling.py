@@ -59,6 +59,79 @@ def apply_top_p(logits: jax.Array, top_p: jax.Array) -> jax.Array:
     return jnp.where(logits < cutoff, NEG_INF, logits)
 
 
+def spec_verify_tokens(logits: jax.Array, draft_next: jax.Array,
+                       draft_lens: jax.Array,
+                       temperature: Optional[jax.Array] = None,
+                       top_k: Optional[jax.Array] = None,
+                       top_p: Optional[jax.Array] = None,
+                       key: Optional[jax.Array] = None):
+    """Speculative verification over S segments of K1 rows.
+
+    logits (S, K1, V): row j's next-token distribution after consuming
+    position j. draft_next (S, K1): the token PROPOSED as row j's output
+    (i.e. draft j+1); only the first draft_lens entries per row are real.
+    Returns (emitted (S, K1) int32, acc (S,) int32): emitted[i, :acc[i]]
+    are accepted drafts, emitted[i, acc[i]] is the final token, entries
+    past acc are garbage the caller drops.
+
+    Greedy rows (temperature absent or <= 0): acceptance is the exact
+    argmax match — byte-identical to plain greedy decoding. Stochastic
+    rows: standard rejection sampling against the one-hot draft proposal —
+    accept draft d at row j with probability p_j(d) (p = the
+    temperature/top-k/top-p–filtered distribution); on the first rejection
+    sample from the residual normalize(max(p - onehot_d, 0)), which for a
+    one-hot proposal is p with d zeroed — this preserves the target
+    sampling distribution EXACTLY (the spec-sampling theorem), so
+    speculation changes no output statistics, only latency. When every
+    real draft is accepted the final token is a bonus sample from the last
+    row's distribution."""
+    S, K1, V = logits.shape
+    lg = logits.astype(jnp.float32)
+    greedy_tok = jnp.argmax(lg, axis=-1).astype(jnp.int32)      # (S, K1)
+    dn = jnp.clip(draft_next, 0, V - 1)
+    dl = jnp.clip(draft_lens, 0, K1 - 1)
+
+    stoch = None
+    probs = None
+    if temperature is not None and key is not None:
+        stoch = temperature > 0
+        flat = lg.reshape(S * K1, V)
+        flat = apply_temperature(flat, jnp.repeat(temperature, K1))
+        if top_k is not None:
+            flat = apply_top_k(flat, jnp.repeat(top_k, K1))
+        if top_p is not None:
+            flat = apply_top_p(flat, jnp.repeat(top_p, K1))
+        probs = jax.nn.softmax(flat, axis=-1).reshape(S, K1, V)
+
+    if probs is not None:
+        p_draft = jnp.take_along_axis(probs, dn[..., None], axis=-1)[..., 0]
+        k_u, k_s = jax.random.split(key)
+        u = jax.random.uniform(k_u, (S, K1))
+        accept = jnp.where(stoch[:, None], u < p_draft, greedy_tok == dn)
+    else:
+        accept = greedy_tok == dn
+
+    j = jnp.arange(K1, dtype=jnp.int32)
+    in_draft = j[None, :] < dl[:, None]
+    acc = jnp.sum(jnp.cumprod((accept & in_draft).astype(jnp.int32), axis=1),
+                  axis=1)                                        # (S,)
+    row = jnp.arange(S)
+    if probs is not None:
+        p_row = probs[row, acc]                                  # (S, V)
+        d_row = dn[row, acc]
+        resid = p_row.at[row, d_row].set(0.0)
+        dist = jnp.where((acc < dl)[:, None], resid, p_row)
+        dist = dist / jnp.maximum(dist.sum(-1, keepdims=True), 1e-20)
+        samp = jax.random.categorical(
+            k_s, jnp.log(jnp.maximum(dist, 1e-30)), axis=-1).astype(jnp.int32)
+        final = jnp.where(stoch, samp, greedy_tok[row, acc])
+    else:
+        final = greedy_tok[row, acc]
+    emitted = jnp.where(j[None, :] < acc[:, None], dn, 0)
+    emitted = emitted.at[row, acc].set(final)
+    return emitted.astype(jnp.int32), acc.astype(jnp.int32)
+
+
 @functools.partial(jax.jit, static_argnames=("greedy",))
 def process_logits(logits: jax.Array,
                    token_counts: Optional[jax.Array] = None,
