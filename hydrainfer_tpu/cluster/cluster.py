@@ -168,6 +168,31 @@ class Cluster(RequestObserver):
         assert len(self.pbalancer), "cluster has no prefill-capable node"
         logger.info(f"cluster up: {[n.name for n in self.nodes]}")
 
+    def metrics(self) -> dict:
+        """Aggregated per-node serving metrics (backs the API server's
+        /metrics endpoint)."""
+        out = {}
+        for node in self.nodes:
+            row = {}
+            kv = getattr(node, "kv_cache_manager", None)
+            if kv is not None:
+                m = kv.metrics()
+                row["kv_free_blocks"] = m.allocator.n_free_blocks
+                row["kv_total_blocks"] = m.allocator.n_total_blocks
+                row["prefix_cache_hit_rate"] = round(m.prefix_cache_hit_rate, 4)
+            sched = getattr(node, "batch_scheduler", None)
+            if sched is not None:
+                sm = sched.metrics()
+                row["running_requests"] = sm.n_running_requests
+                row["waiting_requests"] = len(sched.waiting)
+                row["migrating_requests"] = sm.n_requests_waiting_migrate
+            fx = getattr(getattr(node, "executor", None), "fill_executor", None)
+            if fx is not None and getattr(fx, "spec_steps", 0):
+                row["spec_steps"] = fx.spec_steps
+                row["spec_tokens"] = fx.spec_tokens
+            out[node.name] = row
+        return out
+
     async def add_request(self, request: Request,
                           params: RequestProcessParameters) -> None:
         has_image = request.image is not None or request.image_base64 is not None

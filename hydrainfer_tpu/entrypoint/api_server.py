@@ -82,6 +82,7 @@ class APIServer:
         self.app = web.Application(middlewares=[_error_middleware])
         self.app.add_routes([
             web.get("/health", self.health),
+            web.get("/metrics", self.metrics),
             web.post("/v1/chat/completions", self.create_chat_completion),
             web.post("/v1/completions", self.create_completion),
         ])
@@ -126,6 +127,20 @@ class APIServer:
 
     async def health(self, _request) -> web.Response:
         return web.Response(text="ok")
+
+    async def metrics(self, _request) -> web.Response:
+        """Per-node serving metrics (KV pool, queues, prefix-cache hit
+        rate, speculative acceptance) from every observer that exposes a
+        metrics() — the JSON analogue of a Prometheus scrape."""
+        out = {}
+        for obs in self.observers:
+            m = getattr(obs, "metrics", None)
+            if callable(m):
+                try:
+                    out.update(m())
+                except Exception:
+                    logger.exception("metrics collection failed")
+        return web.json_response(out)
 
     def _count_prompt_tokens(self, prompt: str, image_b64) -> int:
         """Engine-accurate prompt token count (runs off the event loop):
