@@ -152,7 +152,7 @@ def main():
                     help="paged-attention handler (layered = builder kernel "
                          "over the full multi-layer cache)")
     ap.add_argument("--layer-loop", default="unroll",
-                    choices=["scan", "unroll"],
+                    choices=["scan", "unroll", "unroll_stacked"],
                     help="scan over stacked weights vs unrolled per-layer "
                          "loop with per-layer cache buffers")
     ap.add_argument("--trace-dir", default="",

@@ -264,7 +264,8 @@ class AsyncEPDNode:
         lm_cfg = getattr(getattr(self.worker, "language_model", None), "cfg", None)
         # pp shards the STACKED layer axis of one cache array, so it
         # overrides the unroll layout's per-layer buffer list
-        unrolled = (getattr(lm_cfg, "layer_loop", "scan") == "unroll"
+        unrolled = (getattr(lm_cfg, "layer_loop", "scan")
+                    in ("unroll", "unroll_stacked")
                     and not (self.mesh is not None
                              and self.context.parallel == "pp"))
         # MLA latent caches hold ONE plane per token (kv_single_plane);

@@ -182,6 +182,25 @@ def pack_decoder_weights(weights: dict, layer_loop: str = "scan") -> dict:
         packed["last_layer"] = {k: v for k, v in layers[-1].items()
                                 if v is not None}
         return packed
+    if layer_loop == "unroll_stacked":
+        # unroll's per-layer cache buffers (static offset-0 kernel operand,
+        # pool-size-independent steps) WITHOUT unroll's per-layer weight
+        # args: the body layers stack per key and each iteration takes a
+        # STATIC slice (free). Dispatch cost over the tunnel scales with
+        # the executable's arg count (PERF_NOTES: 46ms at ~45 args vs
+        # 105ms at ~230), so ~L+10 args instead of ~8L is the point.
+        body = layers[:-1]
+        sigs = {tuple(sorted(k for k, v in lw.items() if v is not None))
+                for lw in body}
+        if len(sigs) != 1:
+            # mixed signatures (e.g. DeepSeek dense prefix + MoE): keep the
+            # plain per-layer list
+            return pack_decoder_weights(weights, "unroll")
+        packed = {k: v for k, v in weights.items() if k != "layers"}
+        packed["layers_stacked"] = stack_layer_weights(body)
+        packed["last_layer"] = {k: v for k, v in layers[-1].items()
+                                if v is not None}
+        return packed
     packed = {k: v for k, v in weights.items() if k != "layers"}
     body = layers[:-1]
     segments = []
@@ -443,6 +462,23 @@ def decoder_forward(weights: dict, cache: jax.Array, batch: LanguageModelBatch,
     else:
         cos = jnp.take(cos_tab, batch.positions, axis=0)
         sin = jnp.take(sin_tab, batch.positions, axis=0)
+
+    if "layers_stacked" in weights:
+        # unrolled loop over per-layer cache buffers with STATIC slices of
+        # the stacked weights — same compute as "unroll", ~1/8 the args
+        assert isinstance(cache, (list, tuple)) and len(cache) == cfg.n_layers, \
+            "unroll_stacked needs a per-layer cache (per_layer=True manager)"
+        cache = list(cache)
+        is_ref = isinstance(cache[0], jax.Ref)
+        stack = weights["layers_stacked"]
+        n_body = cfg.n_layers - 1
+        for l in range(n_body):
+            lw = jax.tree_util.tree_map(lambda v: v[l], stack)
+            x, cache[l] = _layer_body(x, cache[l], 0, lw, batch, cos, sin,
+                                      cfg, max_q)
+        return _last_layer_and_head(
+            weights, cache, cache[-1], 0, x, batch, cos, sin,
+            cfg, max_q, token_table, return_logits, is_ref, True, spec=spec)
 
     per_layer = "layers_list" in weights
     if per_layer:

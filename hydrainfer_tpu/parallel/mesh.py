@@ -107,6 +107,13 @@ def shard_decoder_weights(weights: dict, mesh: Mesh) -> dict:
         out["layers"] = [
             {k: put(v, DECODER_WEIGHT_RULES[k]) for k, v in lw.items()}
             for lw in weights["layers"]]
+    if "layers_stacked" in weights:
+        out["layers_stacked"] = {
+            k: put(v, stacked_spec(DECODER_WEIGHT_RULES[k]))
+            for k, v in weights["layers_stacked"].items()}
+        out["last_layer"] = {
+            k: put(v, DECODER_WEIGHT_RULES[k])
+            for k, v in weights["last_layer"].items()}
     if "layers_segments" in weights:
         out["layers_segments"] = [
             {k: (v if k == "offset"

@@ -67,3 +67,11 @@ def test_unroll_engine_matches_scan_int8_kv():
     ref = run_engine("scan", kv_int8=True, dtype=jnp.float32)
     got = run_engine("unroll", kv_int8=True, dtype=jnp.float32)
     assert got == ref
+
+
+def test_unroll_stacked_engine_matches_scan():
+    """unroll_stacked: per-layer cache buffers with STATIC slices of the
+    stacked weights — same tokens, ~1/8 the dispatch args."""
+    ref = run_engine("scan")
+    got = run_engine("unroll_stacked")
+    assert got == ref

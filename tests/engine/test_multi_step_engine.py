@@ -156,3 +156,9 @@ def test_decode_warmup_precompiles_buckets():
                                                     ignore_eos=True))],
         timeout_s=300)
     assert len(outs[0].output_token_ids) == 6
+
+
+def test_multi_step_unroll_stacked_layer_loop():
+    ref = run_engine(1, layer_loop="unroll_stacked")
+    got = run_engine(4, layer_loop="unroll_stacked")
+    assert got == ref
