@@ -158,3 +158,36 @@ def test_spec_with_temperature_smoke():
         FillExecutor.propose_ngram = orig_prop
     assert all(len(o.output_token_ids) == 16 for o in outs)
     assert fired, "stochastic spec path never engaged"
+
+
+def test_spec_under_tensor_parallel():
+    """The verify step must produce identical greedy tokens under a TP
+    mesh (GSPMD-partitioned verify program)."""
+    import jax
+    from hydrainfer_tpu.cluster.node import NodeConfig
+    from hydrainfer_tpu.engine.request_processor import RequestProcessorConfig
+    from hydrainfer_tpu.engine.scheduler import BatchSchedulerConfig
+    from hydrainfer_tpu.entrypoint.offline import OfflineEngine
+    from hydrainfer_tpu.models.random_init import RandomWeightFactory
+
+    def run(spec_k, devices=None):
+        factory = RandomWeightFactory("tiny-lm")
+        cfg = NodeConfig(
+            batch_scheduler=BatchSchedulerConfig(max_running_requests=4),
+            request_processor=RequestProcessorConfig(
+                num_request_process_workers=1, block_size=4),
+            kv_block_size=4, n_kv_blocks=256, n_image_blocks=1)
+        cfg.model.dtype = "fp32"
+        cfg.model.attention_impl = "jnp"
+        cfg.spec_ngram_k = spec_k
+        engine = OfflineEngine(cfg, model_factory=factory, node_type="PD",
+                               devices=devices)
+        reqs = [Request(request_id="r0", prompt=REPETITIVE,
+                        sampling_params=SamplingParameters(max_tokens=16,
+                                                           ignore_eos=True))]
+        return [o.output_token_ids for o in engine.generate(reqs,
+                                                            timeout_s=600)]
+
+    plain = run(0)
+    tp_spec = run(3, devices=jax.devices()[:4])
+    assert tp_spec == plain
