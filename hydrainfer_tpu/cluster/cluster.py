@@ -100,6 +100,30 @@ def resolve_cluster_topology(cluster_type: str, n_devices: int) -> List[NodeSpec
             NodeSpec("D", n_devices - 1 - (n_devices - 1) // 2)]
 
 
+def node_metrics(node) -> dict:
+    """One node's serving metrics as plain JSON (shared by the in-process
+    cluster and the per-node RPC worker, so /metrics looks the same in
+    both deployment shapes)."""
+    row = {}
+    kv = getattr(node, "kv_cache_manager", None)
+    if kv is not None:
+        m = kv.metrics()
+        row["kv_free_blocks"] = m.allocator.n_free_blocks
+        row["kv_total_blocks"] = m.allocator.n_total_blocks
+        row["prefix_cache_hit_rate"] = round(m.prefix_cache_hit_rate, 4)
+    sched = getattr(node, "batch_scheduler", None)
+    if sched is not None:
+        sm = sched.metrics()
+        row["running_requests"] = sm.n_running_requests
+        row["waiting_requests"] = len(sched.waiting)
+        row["migrating_requests"] = sm.n_requests_waiting_migrate
+    fx = getattr(getattr(node, "executor", None), "fill_executor", None)
+    if fx is not None and getattr(fx, "spec_steps", 0):
+        row["spec_steps"] = fx.spec_steps
+        row["spec_tokens"] = fx.spec_tokens
+    return row
+
+
 class Cluster(RequestObserver):
     def __init__(self, config: ClusterConfig,
                  model_factory: Optional[ModelFactory] = None,
@@ -171,27 +195,7 @@ class Cluster(RequestObserver):
     def metrics(self) -> dict:
         """Aggregated per-node serving metrics (backs the API server's
         /metrics endpoint)."""
-        out = {}
-        for node in self.nodes:
-            row = {}
-            kv = getattr(node, "kv_cache_manager", None)
-            if kv is not None:
-                m = kv.metrics()
-                row["kv_free_blocks"] = m.allocator.n_free_blocks
-                row["kv_total_blocks"] = m.allocator.n_total_blocks
-                row["prefix_cache_hit_rate"] = round(m.prefix_cache_hit_rate, 4)
-            sched = getattr(node, "batch_scheduler", None)
-            if sched is not None:
-                sm = sched.metrics()
-                row["running_requests"] = sm.n_running_requests
-                row["waiting_requests"] = len(sched.waiting)
-                row["migrating_requests"] = sm.n_requests_waiting_migrate
-            fx = getattr(getattr(node, "executor", None), "fill_executor", None)
-            if fx is not None and getattr(fx, "spec_steps", 0):
-                row["spec_steps"] = fx.spec_steps
-                row["spec_tokens"] = fx.spec_tokens
-            out[node.name] = row
-        return out
+        return {node.name: node_metrics(node) for node in self.nodes}
 
     async def add_request(self, request: Request,
                           params: RequestProcessParameters) -> None:

@@ -242,8 +242,8 @@ class NodeWorker:
         if method == "ping":
             return self.node.name
         if method == "metrics":
-            return {"name": self.node.name,
-                    "sched": str(self.node.batch_scheduler.metrics())}
+            from .cluster import node_metrics
+            return {"name": self.node.name, **node_metrics(self.node)}
         raise ValueError(f"unknown rpc method {method}")
 
     def _shutdown(self) -> None:
@@ -406,6 +406,18 @@ class ProcessCluster:
         h = pool[self._rr[key] % len(pool)]
         self._rr[key] += 1
         await h.client.call("add_request", request)
+
+    async def metrics_async(self) -> dict:
+        """Per-node metrics over the RPC plane — the process-deployment
+        analogue of Cluster.metrics() (same row schema via node_metrics)."""
+        out = {}
+        for h in self.handles:
+            try:
+                row = await h.client.call("metrics", timeout=5.0)
+                out[row.pop("name", h.name)] = row
+            except Exception:
+                out[h.name] = {"error": "unreachable"}
+        return out
 
     async def stop(self) -> None:
         if self._collector_task is not None:

@@ -413,21 +413,9 @@ class FillExecutor:
             image_dst_idx=np.zeros(0, np.int32), dims=dims)
         flat = np.concatenate([flat, draft_lens])
         if sampling:
-            temps = np.zeros(S, np.float32)
-            top_ks = np.full(S, -1, np.int32)
-            top_ps = np.ones(S, np.float32)
-            for i, (rcb, _) in enumerate(batch):
-                sp = rcb.sampling_params
-                if sp is None:
-                    continue
-                temps[i] = sp.temperature
-                top_ks[i] = sp.top_k
-                top_ps[i] = sp.top_p
-            LanguageModelBatchBuilder._seed_counter += 1
-            seed = np.asarray([LanguageModelBatchBuilder._seed_counter],
-                              np.int32)
-            flat = np.concatenate([flat, temps.view(np.int32), top_ks,
-                                   top_ps.view(np.int32), seed])
+            from .params_builder import sampling_tail
+            flat = np.concatenate(
+                [flat, sampling_tail([r for r, _ in batch], S)])
         return FillBatchPlan(flat=flat, dims=dims,
                              seq_rcbs=[r for r, _ in batch],
                              seq_insts=[i for _, i in batch],

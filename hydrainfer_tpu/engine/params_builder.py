@@ -61,6 +61,27 @@ class FillBatchPlan:
         return self.dims.max_q
 
 
+def sampling_tail(seq_rcbs, S: int) -> np.ndarray:
+    """Per-seq sampling controls, floats bitcast into the i32 flat buffer:
+    [temps(S) | top_ks(S) | top_ps(S) | seed(1)]. The ONE definition of the
+    tail layout — models/factory.py:unpack_fill_batch mirrors it on device;
+    both the fill builder and the speculative plan use this."""
+    temps = np.zeros(S, np.float32)
+    top_ks = np.full(S, -1, np.int32)
+    top_ps = np.ones(S, np.float32)
+    for i, rcb in enumerate(seq_rcbs):
+        sp = rcb.sampling_params
+        if sp is None:
+            continue
+        temps[i] = sp.temperature
+        top_ks[i] = sp.top_k
+        top_ps[i] = sp.top_p
+    LanguageModelBatchBuilder._seed_counter += 1
+    seed = np.asarray([LanguageModelBatchBuilder._seed_counter], np.int32)
+    return np.concatenate([temps.view(np.int32), top_ks,
+                           top_ps.view(np.int32), seed])
+
+
 def _is_range(ids: List[int]) -> bool:
     return len(ids) == 1 or ids[-1] - ids[0] == len(ids) - 1
 
@@ -156,22 +177,7 @@ class LanguageModelBatchBuilder:
     _seed_counter = 0
 
     def _sampling_tail(self, dims: FillDims) -> np.ndarray:
-        """Per-seq sampling controls, floats bitcast into the i32 buffer."""
-        S = dims.S
-        temps = np.zeros(S, np.float32)
-        top_ks = np.full(S, -1, np.int32)
-        top_ps = np.ones(S, np.float32)
-        for i, rcb in enumerate(self.seq_rcbs):
-            sp = rcb.sampling_params
-            if sp is None:
-                continue
-            temps[i] = sp.temperature
-            top_ks[i] = sp.top_k
-            top_ps[i] = sp.top_p
-        LanguageModelBatchBuilder._seed_counter += 1
-        seed = np.asarray([LanguageModelBatchBuilder._seed_counter], np.int32)
-        return np.concatenate([temps.view(np.int32), top_ks,
-                               top_ps.view(np.int32), seed])
+        return sampling_tail(self.seq_rcbs, dims.S)
 
     # ---------------- native packing ----------------
 

@@ -143,34 +143,47 @@ class BatchSchedulerProfiler:
         T-buckets)."""
         if self.executor is None or self.kv is None:
             return
-        from ..engine.rcb import BatchRequest
-        rcbs = []
+        # window sizes to warm, largest first; the decode chain must hold
+        # enough pre-created fills for ALL of them in sequence
+        windows = sorted({k_fused, max(k_fused // 2, 1), 1}, reverse=True)
+        n_decode = sum(windows) + 1
         n_prompt = 8
-        for _ in range(n_seqs):
-            rcb = RequestControlBlock()
-            rcb.sampling_params = SamplingParameters(max_tokens=k_fused + 2,
-                                                     ignore_eos=True)
-            b = InstructionListBuilder()
-            prompt = TextFill(
-                token_ids=list(np.random.randint(10, 100, size=n_prompt)),
-                position_ids=list(range(n_prompt)),
-                cache_ids=list(range(n_prompt)),
-                sample=True, sample_dst=None, hashes=None)
-            b.append(prompt)
-            last = prompt
-            for i in range(n_prompt, n_prompt + k_fused + 2):
-                d = TextFill(token_ids=[-1], position_ids=[i], cache_ids=[i],
-                             sample=True, sample_dst=None, hashes=None)
-                b.append(d)
-                last.sample_dst = d
-                last = d
-            rcb.instructions = b.build()
-            rcb.virtual_kv_cache = self.kv.allocate_virtual_cache()
-            self.kv.realloc(rcb.virtual_kv_cache, n_prompt)
-            rcbs.append(rcb)
+        rcbs = []
         try:
+            for _ in range(n_seqs):
+                rcb = RequestControlBlock()
+                rcb.sampling_params = SamplingParameters(
+                    max_tokens=n_decode, ignore_eos=True)
+                b = InstructionListBuilder()
+                prompt = TextFill(
+                    token_ids=list(np.random.randint(10, 100, size=n_prompt)),
+                    position_ids=list(range(n_prompt)),
+                    cache_ids=list(range(n_prompt)),
+                    sample=True, sample_dst=None, hashes=None)
+                b.append(prompt)
+                last = prompt
+                for i in range(n_prompt, n_prompt + n_decode):
+                    d = TextFill(token_ids=[-1], position_ids=[i],
+                                 cache_ids=[i], sample=True, sample_dst=None,
+                                 hashes=None)
+                    b.append(d)
+                    last.sample_dst = d
+                    last = d
+                rcb.instructions = b.build()
+                rcb.virtual_kv_cache = self.kv.allocate_virtual_cache()
+                self.kv.realloc(rcb.virtual_kv_cache, n_prompt)
+                rcbs.append(rcb)
             self.executor.execute_fill(BatchRequest(rcbs)).get()
-            for k in {k_fused, max(k_fused // 2, 1), 1}:
+            for k in windows:
+                # the scheduler's per-step contract (which this synthetic
+                # path bypasses): cover the current instruction's slot; the
+                # fused window grows its own look-ahead. The executor's
+                # realloc may SHRINK past-step look-ahead, so this must run
+                # before every call, like the real step loop does.
+                for rcb in rcbs:
+                    inst = rcb.current_instruction()
+                    self.kv.realloc(rcb.virtual_kv_cache,
+                                    inst.cache_ids[0] + 1)
                 self.executor.execute_fill(BatchRequest(rcbs),
                                            n_steps=k).get()
         finally:

@@ -132,12 +132,17 @@ class APIServer:
         """Per-node serving metrics (KV pool, queues, prefix-cache hit
         rate, speculative acceptance) from every observer that exposes a
         metrics() — the JSON analogue of a Prometheus scrape."""
+        import inspect
         out = {}
         for obs in self.observers:
-            m = getattr(obs, "metrics", None)
+            m = (getattr(obs, "metrics", None)
+                 or getattr(obs, "metrics_async", None))
             if callable(m):
                 try:
-                    out.update(m())
+                    r = m()
+                    if inspect.isawaitable(r):
+                        r = await r
+                    out.update(r)
                 except Exception:
                     logger.exception("metrics collection failed")
         return web.json_response(out)

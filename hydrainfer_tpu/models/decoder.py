@@ -171,7 +171,8 @@ def pack_decoder_weights(weights: dict, layer_loop: str = "scan") -> dict:
 
     Consecutive layers with the same weight signature (e.g. DeepSeek's dense
     prefix then MoE region) form one scan segment each."""
-    if "layers_segments" in weights or "layers_list" in weights:
+    if ("layers_segments" in weights or "layers_list" in weights
+            or "layers_stacked" in weights):
         return weights
     layers = weights["layers"]
     if layer_loop == "unroll":
@@ -463,24 +464,7 @@ def decoder_forward(weights: dict, cache: jax.Array, batch: LanguageModelBatch,
         cos = jnp.take(cos_tab, batch.positions, axis=0)
         sin = jnp.take(sin_tab, batch.positions, axis=0)
 
-    if "layers_stacked" in weights:
-        # unrolled loop over per-layer cache buffers with STATIC slices of
-        # the stacked weights — same compute as "unroll", ~1/8 the args
-        assert isinstance(cache, (list, tuple)) and len(cache) == cfg.n_layers, \
-            "unroll_stacked needs a per-layer cache (per_layer=True manager)"
-        cache = list(cache)
-        is_ref = isinstance(cache[0], jax.Ref)
-        stack = weights["layers_stacked"]
-        n_body = cfg.n_layers - 1
-        for l in range(n_body):
-            lw = jax.tree_util.tree_map(lambda v: v[l], stack)
-            x, cache[l] = _layer_body(x, cache[l], 0, lw, batch, cos, sin,
-                                      cfg, max_q)
-        return _last_layer_and_head(
-            weights, cache, cache[-1], 0, x, batch, cos, sin,
-            cfg, max_q, token_table, return_logits, is_ref, True, spec=spec)
-
-    per_layer = "layers_list" in weights
+    per_layer = "layers_list" in weights or "layers_stacked" in weights
     if per_layer:
         # unrolled loop over per-layer cache buffers (list of L entries,
         # each (1, n_tensors, n_blocks, bs, heads, dim) — Ref or array).
@@ -490,7 +474,16 @@ def decoder_forward(weights: dict, cache: jax.Array, batch: LanguageModelBatch,
             "unroll layer_loop needs a per-layer cache (per_layer=True manager)"
         cache = list(cache)
         is_ref = isinstance(cache[0], jax.Ref)
-        for l, lw in enumerate(weights["layers_list"]):
+        if "layers_stacked" in weights:
+            # STATIC slices of per-key stacked weights: same compute as the
+            # per-layer list, ~1/8 the dispatch args (dispatch cost over the
+            # tunnel scales with the executable's arg count)
+            stack = weights["layers_stacked"]
+            body_lws = [jax.tree_util.tree_map(lambda v, _l=l: v[_l], stack)
+                        for l in range(cfg.n_layers - 1)]
+        else:
+            body_lws = weights["layers_list"]
+        for l, lw in enumerate(body_lws):
             x, cache[l] = _layer_body(x, cache[l], 0, lw, batch, cos, sin,
                                       cfg, max_q)
         last_cache, last_layer_id = cache[-1], 0

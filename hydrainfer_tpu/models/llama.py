@@ -169,13 +169,20 @@ class LlamaForCausalLM(LanguageModel):
         'pp' axis; forward_flat routes through the stage-relay program
         (parallel/pipeline.py:decoder_forward_pp). Requires the unroll
         layer layout (per-layer dicts) to rebuild the uniform stage stack."""
-        assert "layers_list" in self.weights, \
-            "pipeline parallelism needs layer_loop='unroll'"
+        assert "layers_list" in self.weights \
+            or "layers_stacked" in self.weights, \
+            "pipeline parallelism needs layer_loop='unroll'/'unroll_stacked'"
         from ..parallel.mesh import replicate
         from ..parallel.pipeline import (decoder_forward_pp, pp_pack_weights,
                                          pp_shard_weights)
         cfg = self.cfg
-        layers = list(self.weights["layers_list"]) + [self.weights["last_layer"]]
+        if "layers_stacked" in self.weights:
+            stack = self.weights["layers_stacked"]
+            body = [jax.tree_util.tree_map(lambda v, _l=l: v[_l], stack)
+                    for l in range(cfg.n_layers - 1)]
+        else:
+            body = list(self.weights["layers_list"])
+        layers = body + [self.weights["last_layer"]]
         raw = {"layers": layers, "embed": self.weights["embed"],
                "norm": self.weights["norm"],
                "lm_head": self.weights["lm_head"]}
