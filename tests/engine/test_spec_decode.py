@@ -134,7 +134,7 @@ def test_spec_with_temperature_smoke():
 
     # force drafts: with temperature the sampled context rarely repeats
     # n-grams, so pin the proposer — the verify path is what's under test
-    orig_prop = FillExecutor.propose_ngram
+    orig_prop = FillExecutor.__dict__["propose_ngram"]  # the staticmethod
     FillExecutor.propose_ngram = staticmethod(lambda ctx, k, n=3: [5, 6, 7][:k])
     FillExecutor.execute_spec = spy
     try:
