@@ -54,6 +54,10 @@ def run_bench(arch: str, n_requests: int, prompt_len: int, max_tokens: int,
         n_image_blocks=1,
     )
     cfg.kv_cache_ref = kv_ref
+    # converge the jit-key set at boot (floor pre-ratchet + decode warmup):
+    # without this the measured run eats ~22s of mid-run re-compiles when
+    # the S/MB floors ratchet during the warmup pass
+    cfg.boot_warmup = True
     cfg.model.dtype = "bf16"
     cfg.model.attention_impl = attn_impl
     if kv_int8:

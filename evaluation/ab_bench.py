@@ -65,6 +65,7 @@ def build_engine(arch, v, n_requests, prompt_len, max_tokens, token_budget):
         n_image_blocks=1)
     cfg.kv_cache_ref = v["kv_ref"]
     cfg.multi_step_decode = v["multi_step"]
+    cfg.boot_warmup = True   # converge jit keys at boot; round 0 stays clean
     cfg.model.dtype = "bf16"
     cfg.model.attention_impl = v["attn_impl"]
     if v["kv_int8"]:

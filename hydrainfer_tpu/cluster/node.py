@@ -105,6 +105,16 @@ class NodeConfig:
     # throughput path.
     spec_ngram_k: int = 0
     spec_ngram_n: int = 3
+    # boot-time decode warmup + jit-key floor pre-ratchet. None = follow
+    # profiler.enabled. When on, the S/MB high-water floors are raised to
+    # the serving envelope (S = max_running_requests; MB = the pool's
+    # fair-share context per request, capped at boot_warmup_max_context)
+    # BEFORE anything compiles, so the compile set converges at boot
+    # instead of re-keying mid-serving (each mid-run ratchet re-compiles
+    # both the prefill and fused-decode programs, ~10-25s apiece on the
+    # tunneled TPU).
+    boot_warmup: Optional[bool] = None
+    boot_warmup_max_context: int = 8192
     # speculate only when the resident batch is at most this large: the
     # verify step is synchronous (drains the async pipeline), so it trades
     # throughput for latency — a trade that only wins when latency-bound
@@ -210,9 +220,23 @@ class AsyncEPDNode:
             self.config.profiler, self.executor,
             self.kv_cache_manager, self.image_cache_manager,
             n_image_tokens=n_img_tokens)
+        boot_warm = (self.config.boot_warmup
+                     if self.config.boot_warmup is not None
+                     else self.config.profiler.enabled)
+        if (boot_warm and nt.has_kv_cache
+                and self.worker.supports_multi_step()):
+            # pre-ratchet the jit-key floors to the serving envelope first,
+            # so every compile (budget probes, warm_decode, live traffic)
+            # lands on the converged key set
+            max_running = self.config.batch_scheduler.max_running_requests
+            kv = self.kv_cache_manager
+            fair_ctx = kv.n_blocks * kv.block_size // max(1, max_running)
+            fair_ctx = min(fair_ctx, self.config.boot_warmup_max_context)
+            mb_floor = -(-fair_ctx // kv.block_size)
+            self.executor.fill_executor.preratchet(max_running, mb_floor)
         image_budget = profiler.profile_image_budgets()
         token_budget = profiler.profile_token_budgets()
-        if (self.config.profiler.enabled and nt.has_kv_cache
+        if (boot_warm and nt.has_kv_cache
                 and self.worker.supports_multi_step()):
             try:
                 profiler.warm_decode(

@@ -118,6 +118,16 @@ class FillExecutor:
         self.spec_steps = 0
         self.spec_tokens = 0
 
+    def preratchet(self, s_floor: int, mb_floor: int) -> None:
+        """Raise the S/MB jit-key floors to the serving envelope BEFORE any
+        program compiles. Without this the floors ratchet upward mid-run as
+        the batch fills and contexts grow, and every ratchet re-keys BOTH
+        the prefill and decode programs (~10-25s compile each on the TPU
+        tunnel) — measured as a 2-program, ~22s stall on the first
+        steady-state pass after warmup."""
+        self._s_highwater = max(self._s_highwater, int(s_floor))
+        self._mb_highwater = max(self._mb_highwater, int(mb_floor))
+
     def acquire_slot(self, rcb) -> None:
         if rcb.token_slot < 0:
             assert self._free_slots, "token table exhausted"
