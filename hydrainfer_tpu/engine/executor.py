@@ -113,20 +113,26 @@ class FillExecutor:
         # smaller batch or narrower block table triggers a new compile
         self._s_highwater = 1
         self._mb_highwater = 1
+        self._ti_highwater = 0
         # speculative-decoding observability: verify steps run / tokens
         # emitted by them / single-step-equivalent steps saved
         self.spec_steps = 0
         self.spec_tokens = 0
 
-    def preratchet(self, s_floor: int, mb_floor: int) -> None:
-        """Raise the S/MB jit-key floors to the serving envelope BEFORE any
-        program compiles. Without this the floors ratchet upward mid-run as
-        the batch fills and contexts grow, and every ratchet re-keys BOTH
-        the prefill and decode programs (~10-25s compile each on the TPU
-        tunnel) — measured as a 2-program, ~22s stall on the first
-        steady-state pass after warmup."""
+    def preratchet(self, s_floor: int, mb_floor: int,
+                   ti_floor: int = 0) -> None:
+        """Raise the S/MB/Ti jit-key floors to the serving envelope BEFORE
+        any program compiles. Without this the floors ratchet upward
+        mid-run as the batch fills and contexts grow, and every ratchet
+        re-keys BOTH the prefill and decode programs (~10-25s compile each
+        on the TPU tunnel) — measured as a 2-program, ~22s stall on the
+        first steady-state pass after warmup. Ti (image-feature gather
+        width) only applies to image-bearing batches; its natural value
+        depends on timing-nondeterministic encode/prefill interleaving, so
+        without a floor every mix compiles a fresh program."""
         self._s_highwater = max(self._s_highwater, int(s_floor))
         self._mb_highwater = max(self._mb_highwater, int(mb_floor))
+        self._ti_highwater = max(self._ti_highwater, int(ti_floor))
 
     def acquire_slot(self, rcb) -> None:
         if rcb.token_slot < 0:
@@ -444,9 +450,11 @@ class FillExecutor:
             self.kv, self.image, self.language_config, self.image_token_id)
         builder.add_batch(batch)
         plan = builder.build(s_floor=self._s_highwater,
-                             mb_floor=self._mb_highwater)
+                             mb_floor=self._mb_highwater,
+                             ti_floor=self._ti_highwater)
         self._s_highwater = max(self._s_highwater, plan.dims.S)
         self._mb_highwater = max(self._mb_highwater, plan.dims.MB)
+        self._ti_highwater = max(self._ti_highwater, plan.dims.Ti)
 
         fused_k = None
         if n_steps > 1:
@@ -529,6 +537,16 @@ class ImageEmbedExecutor:
         lcfg = model_factory.getLanguageModelConfig()
         self.n_heads = image_cache_manager.config.n_heads
         self.head_dim = image_cache_manager.config.head_dim
+        # encode-batch jit-key floor (fixed-resolution towers only): the
+        # number of images per encode batch depends on arrival/budget
+        # timing, so without bucketing every distinct count compiles a
+        # fresh ViT program (~10-15s apiece on the TPU tunnel, observed
+        # DURING serving). Padded images cost real encode FLOPs, so the
+        # floor is a high-water mark, not a fixed pad-to-budget.
+        self._img_highwater = 1
+
+    def preratchet(self, img_floor: int) -> None:
+        self._img_highwater = max(self._img_highwater, int(img_floor))
 
     @functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(1,))
     def _scatter_features(self, cache, features, slots):
@@ -547,7 +565,21 @@ class ImageEmbedExecutor:
             slot_ids.extend(self.image.v2p(rcb.virtual_image_cache, inst.cache_ids))
             images_size.extend(inst.images_size)
 
-        pixels = jnp.asarray(np.concatenate(pixel_values, axis=0))
+        stacked = np.concatenate(pixel_values, axis=0)
+        if getattr(self.worker.vision_model, "fixed_resolution", False):
+            # pad the image axis to a pow2 bucket with a high-water floor,
+            # so the encode program's jit key converges instead of
+            # compiling per image count (pad rows' features land on slot
+            # -1 below and are dropped by the scatter)
+            n_imgs = stacked.shape[0]
+            Np = max(_next_pow2(n_imgs), self._img_highwater)
+            self._img_highwater = Np
+            if Np > n_imgs:
+                stacked = np.concatenate(
+                    [stacked, np.zeros((Np - n_imgs,) + stacked.shape[1:],
+                                       stacked.dtype)], axis=0)
+                images_size.extend(images_size[-1:] * (Np - n_imgs))
+        pixels = jnp.asarray(stacked)
         vision_out = self.worker.execute_vision_model(
             pixels, VisionModelParameters(original_image_sizes=images_size))
         feats = vision_out.image_features  # (n_images, n_tok, hidden)

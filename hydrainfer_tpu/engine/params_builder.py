@@ -135,7 +135,8 @@ class LanguageModelBatchBuilder:
             if isinstance(inst, Fill):
                 self.add(rcb, inst)
 
-    def build(self, s_floor: int = 1, mb_floor: int = 1) -> FillBatchPlan:
+    def build(self, s_floor: int = 1, mb_floor: int = 1,
+              ti_floor: int = 0) -> FillBatchPlan:
         """s_floor/mb_floor: HIGH-WATER floors for the S and MB jit-key
         dims (supplied by the executor). Without them, per-request context
         growth walks MB through every power of two and batch drain walks S
@@ -154,7 +155,10 @@ class LanguageModelBatchBuilder:
             T=bucket_of(self._n_tokens, TOKEN_BUCKETS),
             S=max(bucket_of(n_seqs, SEQ_BUCKETS), _next_pow2(s_floor)),
             MB=max(_next_pow2(self._max_blocks), _next_pow2(mb_floor)),
-            Ti=(bucket_of(len(self.image_slot_ids), TOKEN_BUCKETS)
+            # ti_floor: high-water floor for image-bearing batches only —
+            # text-only programs keep Ti=0 (no image gather compiled in)
+            Ti=(max(bucket_of(len(self.image_slot_ids), TOKEN_BUCKETS),
+                    bucket_of(ti_floor, TOKEN_BUCKETS) if ti_floor else 0)
                 if self.image_slot_ids else 0),
             max_q=_next_pow2(self._max_q),
             sampling=sampling,

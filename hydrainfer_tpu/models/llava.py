@@ -46,6 +46,11 @@ class LlavaImageTokenCalculator(ImageTokenCalculator):
 class LlavaVisionModel(VisionModel):
     """CLIP → feature select (drop class token) → MLP projector."""
 
+    # every image is the same (3, H, W) tensor and original_image_sizes is
+    # ignored, so the executor may pad the encode batch to pow2 buckets
+    # (jit-key convergence; pad rows' features are dropped at scatter)
+    fixed_resolution = True
+
     def __init__(self, weights: dict, clip_cfg: CLIPVisionConfig,
                  select_strategy: str = "default"):
         self.weights = weights

@@ -162,3 +162,35 @@ def test_multi_step_unroll_stacked_layer_loop():
     ref = run_engine(1, layer_loop="unroll_stacked")
     got = run_engine(4, layer_loop="unroll_stacked")
     assert got == ref
+
+
+def test_boot_warmup_converges_jit_keys():
+    """With boot_warmup=True the S/MB floors are pre-ratcheted to the
+    serving envelope at node init, so a full serving pass must not move
+    them — every mid-run floor ratchet re-keys the prefill AND decode
+    programs (a 10-25s compile apiece on the real TPU tunnel)."""
+    factory = RandomWeightFactory("tiny-lm")
+    cfg = NodeConfig(
+        batch_scheduler=BatchSchedulerConfig(max_running_requests=5,
+                                             priority="prefill"),
+        request_processor=RequestProcessorConfig(
+            num_request_process_workers=1, block_size=4),
+        kv_block_size=4, n_kv_blocks=256, n_image_blocks=1)
+    cfg.model.dtype = "bf16"
+    cfg.multi_step_decode = 4
+    cfg.boot_warmup = True
+    engine = OfflineEngine(cfg, model_factory=factory, node_type="PD")
+    fx = engine.node.executor.fill_executor
+    # envelope: S >= max_running, MB >= fair-share context / block_size
+    # (warm_decode's own builds round the floors up to their jit buckets)
+    assert fx._s_highwater >= 5
+    assert fx._mb_highwater >= (256 * 4 // 5) // 4
+    s0, mb0 = fx._s_highwater, fx._mb_highwater
+    reqs = [Request(request_id=f"b{i}", prompt="some words here to prefill",
+                    sampling_params=SamplingParameters(max_tokens=20,
+                                                       ignore_eos=True))
+            for i in range(5)]
+    outs = engine.generate(reqs, timeout_s=600)
+    assert [len(o.output_token_ids) for o in outs] == [20] * 5
+    assert (fx._s_highwater, fx._mb_highwater) == (s0, mb0), \
+        "serving ratcheted the jit-key floors past the boot envelope"
