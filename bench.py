@@ -101,8 +101,13 @@ def run_bench(arch: str, n_requests: int, prompt_len: int, max_tokens: int,
     assert total_tokens == n_requests * max_tokens
     tput = total_tokens / elapsed
 
-    # steady-state decode roofline: B tokens per full weight read from HBM
-    roofline = n_requests / (factory.param_bytes() / V5E_HBM_BW)
+    # steady-state decode roofline: B tokens per full weight read from HBM.
+    # vs_baseline is pinned to the BF16 roofline regardless of --quant so
+    # the headline ratio is comparable across rounds and configs (the
+    # north-star metric is tokens/s/chip at INT8, measured against the
+    # model's bf16 bandwidth bound); the dtype-true roofline is in detail.
+    roofline_true = n_requests / (factory.param_bytes() / V5E_HBM_BW)
+    roofline = n_requests / (factory.param_count() * 2 / V5E_HBM_BW)
     ttfts = sorted(o.ttft for o in outs)
     # average inter-token time per request (robust to batched postprocess
     # delivering tokens in bursts: per-token diffs would read ~0)
@@ -122,6 +127,7 @@ def run_bench(arch: str, n_requests: int, prompt_len: int, max_tokens: int,
             "n_requests": n_requests, "prompt_len": prompt_len,
             "max_tokens": max_tokens, "elapsed_s": round(elapsed, 2),
             "roofline_tokens_per_s": round(roofline, 1),
+            "roofline_at_weight_dtype_tokens_per_s": round(roofline_true, 1),
             "p50_ttft_s": round(ttfts[len(ttfts) // 2], 4),
             "p50_tbt_s": round(float(np.median(tbts)), 5) if tbts else None,
             "p90_token_gap_s": round(float(np.percentile(gaps, 90)), 5),
@@ -143,9 +149,12 @@ def main():
     ap.add_argument("--prompt-len", type=int, default=128)
     ap.add_argument("--max-tokens", type=int, default=128)
     ap.add_argument("--token-budget", type=int, default=2048)
-    ap.add_argument("--quant", default="none",
-                    choices=["none", "int8", "int4", "fp8"])
-    ap.add_argument("--kv-int8", action="store_true")
+    ap.add_argument("--quant", default="int8",
+                    choices=["none", "int8", "int4", "fp8"],
+                    help="headline config is int8 weights (BASELINE.json "
+                         "north star); --quant none measures bf16")
+    ap.add_argument("--kv-int8", default=True,
+                    action=argparse.BooleanOptionalAction)
     ap.add_argument("--image-ratio", type=float, default=0.0)
     ap.add_argument("--kv-blocks", type=int, default=0,
                     help="force the KV pool size (0 = fit to the workload)")

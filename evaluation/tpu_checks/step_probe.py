@@ -32,6 +32,9 @@ def main():
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--bisect", default="")
     ap.add_argument("--mode", default="fused", choices=["fused", "dispatch"])
+    ap.add_argument("--quant", default="none",
+                    choices=["none", "int8", "int4", "fp8"])
+    ap.add_argument("--kv-int8", action="store_true")
     args = ap.parse_args()
     sys.path.insert(0, ".")
 
@@ -42,7 +45,8 @@ def main():
     from hydrainfer_tpu.ops.attention import PagedAttentionParams
 
     factory = RandomWeightFactory(args.arch, layer_loop=args.layer_loop,
-                                  bisect=args.bisect)
+                                  bisect=args.bisect, quantization=args.quant,
+                                  kv_scale=0.05 if args.kv_int8 else None)
     lm = factory.getLanguageModel()
     cfg = factory.cfg
     B, BS = args.batch, 16
@@ -51,7 +55,8 @@ def main():
     kv_cfg = TokenCacheBlockManagerConfig(
         n_layers=cfg.n_layers, n_tensors=1, n_blocks=args.kv_blocks,
         block_size=BS, n_heads=2 * cfg.n_kv_heads, head_dim=cfg.head_dim,
-        dtype="bf16", per_layer=(args.layer_loop == "unroll"), use_ref=True)
+        dtype="int8" if args.kv_int8 else "bf16",
+        per_layer=(args.layer_loop == "unroll"), use_ref=True)
     mgr = TokenCacheBlockManager(kv_cfg, jax.devices()[0], "probe")
     cache = mgr.cache_array
 

@@ -40,6 +40,12 @@ class NodeSpec:
     # cluster-wide `node` config, so the model path etc. set once at
     # cluster.node still applies to every node type
     node: Optional[dict] = None
+    # ProcessCluster only: attach to a node ALREADY SERVING at this
+    # tcp://host:port (launched standalone on any host with
+    # `python -m hydrainfer_tpu.cluster.process_node`) instead of spawning
+    # a local child — the multi-host deployment path. n_replicas must be 1
+    # for attach specs (one address, one node).
+    attach_addr: Optional[str] = None
 
 
 def spec_node_config(base: NodeConfig, spec: "NodeSpec") -> NodeConfig:

@@ -236,6 +236,15 @@ class AsyncEPDNode:
             self.executor.fill_executor.preratchet(max_running, mb_floor)
         image_budget = profiler.profile_image_budgets()
         token_budget = profiler.profile_token_budgets()
+        if (boot_warm and nt.has_kv_cache and nt.has_image_cache
+                and self.worker.supports_multi_step()):
+            # Ti (image-feature gather width) floor: image-bearing fill
+            # batches otherwise compile per encode/prefill interleaving
+            # (timing-nondeterministic). The widest gather one batch can
+            # carry is bounded by both the image budget's tokens and the
+            # fill token budget.
+            ti_floor = min(image_budget * n_img_tokens, token_budget)
+            self.executor.fill_executor.preratchet(1, 1, ti_floor)
         if (boot_warm and nt.has_kv_cache
                 and self.worker.supports_multi_step()):
             try:
@@ -463,7 +472,8 @@ class AsyncEPDNode:
         self.executor.execute_empty(empties)
         embed_future.get()
         if self._post_pool is not None:
-            backlog = self.config.max_threaded_backlog
+            if len(self._pending_fills) > self.config.max_threaded_backlog:
+                self.flush_fills()
         else:
             k = self.config.postprocess_batch_steps
             if self.config.adaptive_postprocess:
@@ -471,9 +481,19 @@ class AsyncEPDNode:
                     self.batch_scheduler.n_resident,
                     len(self.batch_scheduler.waiting),
                     self.batch_scheduler.config.max_running_requests, k)
-            backlog = max(self.config.async_pipeline_depth, k)
-        if len(self._pending_fills) > backlog:
-            self.flush_fills()
+            # Backlog is counted in DEVICE STEPS, not pipeline entries: a
+            # fused window already covers n_steps decode steps, so one
+            # read per ~k steps (the amortization target) means flushing
+            # as soon as ≥k steps are pending — while keeping ≥2 entries
+            # in flight so the device always has a dispatched program to
+            # run during the host's read+postprocess. Counting entries
+            # here let k fused windows (k² steps ≈ 64 × ~4ms) accumulate
+            # before a flush — the 274ms p99 token-gap tail of BENCH_r02.
+            backlog_steps = max(self.config.async_pipeline_depth, k)
+            pending_steps = sum(getattr(f, "n_steps", 1)
+                                for f in self._pending_fills)
+            if pending_steps > backlog_steps and len(self._pending_fills) >= 2:
+                self.flush_fills()
         await asyncio.gather(*migrate_tasks)
 
         if self.config.log_latency_breakdown:

@@ -151,13 +151,20 @@ class PeerNodeProxy:
 
 @dataclass
 class NodeBoot:
-    """Everything a child process needs to become a node."""
+    """Everything a child process needs to become a node.
+
+    `token_addr` and `peers` may be empty at boot: a standalone node
+    (launched with `python -m hydrainfer_tpu.cluster.process_node` on any
+    host) starts unwired and receives both over RPC (`connect_tokens`,
+    `wire_peers`) when a parent cluster attaches to it — the multi-host
+    deployment path (reference: one Ray actor per GPU spanning hosts,
+    cluster/cluster.py:123-141)."""
     name: str                    # short name, e.g. "p0"
     node_type: str
     config: NodeConfig
     rpc_host: str
     rpc_port: int
-    token_addr: str              # parent PULL for the token stream
+    token_addr: str = ""         # parent PULL for the token stream
     peers: List[PeerInfo] = field(default_factory=list)
     tpot_slo: float = 0.4
     platform: Optional[str] = None       # e.g. "cpu" for tests
@@ -181,7 +188,9 @@ class NodeWorker:
         self.migrating: Dict = {}      # request_id -> stashed source RCB
         import zmq
         self.token_sock = zmq.Context.instance().socket(zmq.PUSH)
-        self.token_sock.connect(boot.token_addr)
+        self._token_addr = None
+        if boot.token_addr:
+            self.connect_tokens(boot.token_addr)
         self.tokenizer = self.node.model_factory.getTokenizer()
         self.server: Optional[RpcServer] = None
         self._peer_proxies: Dict[str, PeerNodeProxy] = {}
@@ -189,7 +198,21 @@ class NodeWorker:
     def _model_factory(self):
         return None  # node builds from config.model (fake or checkpoint path)
 
+    def connect_tokens(self, token_addr: str) -> None:
+        """(Re)connect the token PUSH plane to a parent collector. Called at
+        boot for spawned children, or over RPC when a parent attaches to a
+        standalone node."""
+        if self._token_addr == token_addr:
+            return
+        if self._token_addr:
+            self.token_sock.disconnect(self._token_addr)
+        self.token_sock.connect(token_addr)
+        self._token_addr = token_addr
+
     def wire_peers(self, peers: List[PeerInfo]) -> None:
+        for p in self._peer_proxies.values():
+            p.close()
+        self._peer_proxies.clear()
         builder = MigrateGraphBuilder()
         builder.add_node(self.node.name, self.node.context.node_type,
                          self.node, tpot_slo=self.boot.tpot_slo)
@@ -241,6 +264,14 @@ class NodeWorker:
             return None
         if method == "ping":
             return self.node.name
+        if method == "wire_peers":
+            peers, = args
+            self.wire_peers(peers)
+            return None
+        if method == "connect_tokens":
+            token_addr, = args
+            self.connect_tokens(token_addr)
+            return None
         if method == "metrics":
             from .cluster import node_metrics
             return {"name": self.node.name, **node_metrics(self.node)}
@@ -280,6 +311,61 @@ def node_worker_main(boot: NodeBoot) -> None:
         loop.close()
 
 
+def main(argv=None) -> None:
+    """Standalone node launcher — the multi-host deployment path.
+
+    Start one node per chip-group on EACH host, then point a parent
+    ProcessCluster (or the API server entrypoint) at their addresses with
+    `NodeSpec(node_type=..., attach_addr="tcp://host:port")`. The parent
+    wires the migrate graph and token plane over RPC at cluster start; all
+    planes are plain tcp, so the same command works on one machine or
+    across a DCN fabric (reference deployment shape: one Ray actor per GPU
+    spanning hosts, cluster/cluster.py:123-141, epdnode.py:189-209).
+
+    Example (2 hosts):
+      hostA$ python -m hydrainfer_tpu.cluster.process_node \\
+                 --name p0 --node-type P --port 18800 \\
+                 --config config/node/p.yaml model.path=/models/llava
+      hostB$ python -m hydrainfer_tpu.cluster.process_node \\
+                 --name d0 --node-type D --port 18800 \\
+                 --config config/node/d.yaml model.path=/models/llava
+      parent: ProcessClusterConfig(nodes=[
+                  NodeSpec("P", attach_addr="tcp://hostA:18800"),
+                  NodeSpec("D", attach_addr="tcp://hostB:18800")],
+                  advertise_host=<parent's routable IP>)
+    """
+    import argparse
+    ap = argparse.ArgumentParser(
+        description="standalone hydrainfer_tpu node (attach-mode worker)")
+    ap.add_argument("--name", required=True, help="short node name, e.g. p0")
+    ap.add_argument("--node-type", required=True,
+                    help="one of E/P/D/EP/ED/PD/EPD")
+    ap.add_argument("--host", default="0.0.0.0", help="RPC bind host")
+    ap.add_argument("--port", type=int, required=True, help="RPC bind port")
+    ap.add_argument("--config", default=None,
+                    help="NodeConfig YAML (config/node/*.yaml)")
+    ap.add_argument("--tpot-slo", type=float, default=0.4)
+    ap.add_argument("--platform", default=None,
+                    help="force jax platform (tests: cpu)")
+    ap.add_argument("--device-index", type=int, default=0,
+                    help="which local jax device this node owns")
+    ap.add_argument("overrides", nargs="*",
+                    help="key.path=value NodeConfig overrides")
+    args = ap.parse_args(argv)
+
+    from ..config import load_config
+    cfg = load_config(NodeConfig, args.config, args.overrides)
+    boot = NodeBoot(name=args.name, node_type=args.node_type, config=cfg,
+                    rpc_host=args.host, rpc_port=args.port,
+                    tpot_slo=args.tpot_slo, platform=args.platform,
+                    device_index=args.device_index)
+    node_worker_main(boot)
+
+
+if __name__ == "__main__":
+    main()
+
+
 # ---------------- parent-side cluster ----------------
 
 @dataclass
@@ -288,21 +374,35 @@ class ProcessClusterConfig:
     nodes: List = field(default_factory=list)           # List[NodeSpec]
     node: NodeConfig = field(default_factory=NodeConfig)
     host: str = "127.0.0.1"
+    # address other hosts can reach THIS process at (token plane). Defaults
+    # to `host`; set it when `host` binds a wildcard/loopback but attached
+    # nodes live on other machines (DCN).
+    advertise_host: Optional[str] = None
     platform: Optional[str] = None      # force child jax platform (tests: cpu)
     xla_flags: Optional[str] = None
     start_timeout_s: float = 120.0
+    # mid-flight failure detection: ping cadence and strikes before a node
+    # is declared dead (its in-flight requests are then terminated instead
+    # of hanging until RPC timeout). 0 disables the monitor.
+    health_interval_s: float = 2.0
+    health_strikes: int = 2
 
 
 class NodeHandle:
-    """Parent's view of one child node process."""
+    """Parent's view of one node process — spawned locally (proc set) or
+    attached over tcp (proc None, node launched standalone on any host)."""
 
     def __init__(self, name: str, node_type: NodeType, addr: str,
-                 proc: multiprocessing.Process):
-        self.name = name
+                 proc: Optional[multiprocessing.Process],
+                 node_type_str: str = "", tpot_slo: float = 0.4):
+        self.name = name            # full control name, e.g. "PDNode:p0"
         self.node_type = node_type
+        self.node_type_str = node_type_str or str(node_type)
+        self.tpot_slo = tpot_slo
         self.addr = addr
         self.proc = proc
         self.client = RpcClient(addr)
+        self.alive = True
 
 
 class ProcessCluster:
@@ -323,44 +423,53 @@ class ProcessCluster:
         self._zctx = zmq.asyncio.Context.instance()
         self.token_sock = self._zctx.socket(zmq.PULL)
         token_port = self.token_sock.bind_to_random_port(f"tcp://{config.host}")
-        token_addr = f"tcp://{config.host}:{token_port}"
+        adv = config.advertise_host or config.host
+        self.token_addr = f"tcp://{adv}:{token_port}"
 
-        # pre-assign names/ports so every boot can carry the full peer table
-        boots: List[NodeBoot] = []
+        ctx = multiprocessing.get_context("spawn")
+        self.handles: List[NodeHandle] = []
         name_counts: Dict[str, int] = {}
-        for i, spec in enumerate(specs):
+        n_spawned = 0
+        for spec in specs:
+            if getattr(spec, "attach_addr", None):
+                # attach mode: the node is already serving at this address
+                # (launched standalone, possibly on another host). The full
+                # control name comes back from its first ping (wait_ready);
+                # peers/tokens are wired over RPC in start().
+                assert spec.n_replicas == 1, "attach specs are one node each"
+                self.handles.append(NodeHandle(
+                    name="", node_type=NodeType(spec.node_type),
+                    addr=spec.attach_addr, proc=None,
+                    node_type_str=spec.node_type, tpot_slo=spec.tpot_slo))
+                continue
             for _ in range(spec.n_replicas):
                 idx = name_counts.get(spec.node_type, 0)
                 name_counts[spec.node_type] = idx + 1
-                boots.append(NodeBoot(
+                boot = NodeBoot(
                     name=f"{spec.node_type.lower()}{idx}",
                     node_type=spec.node_type,
                     config=spec_node_config(config.node, spec),
                     rpc_host=config.host,
                     rpc_port=find_free_port(),
-                    token_addr=token_addr,
+                    token_addr=self.token_addr,
                     tpot_slo=spec.tpot_slo,
                     platform=config.platform,
                     xla_flags=config.xla_flags,
-                    device_index=len(boots)))
-        infos = [PeerInfo(name=f"{NodeType(b.node_type)}Node:{b.name}",
-                          node_type=b.node_type, tpot_slo=b.tpot_slo,
-                          addr=f"tcp://{b.rpc_host}:{b.rpc_port}")
-                 for b in boots]
-        for b, info in zip(boots, infos):
-            b.peers = [p for p in infos if p.name != info.name]
-
-        ctx = multiprocessing.get_context("spawn")
-        self.handles: List[NodeHandle] = []
-        for b, info in zip(boots, infos):
-            proc = ctx.Process(target=node_worker_main, args=(b,),
-                               name=info.name, daemon=True)
-            proc.start()
-            self.handles.append(NodeHandle(info.name, NodeType(b.node_type),
-                                           info.addr, proc))
+                    device_index=n_spawned)
+                n_spawned += 1
+                full_name = f"{NodeType(boot.node_type)}Node:{boot.name}"
+                proc = ctx.Process(target=node_worker_main, args=(boot,),
+                                   name=full_name, daemon=True)
+                proc.start()
+                self.handles.append(NodeHandle(
+                    full_name, NodeType(boot.node_type),
+                    f"tcp://{boot.rpc_host}:{boot.rpc_port}", proc,
+                    node_type_str=boot.node_type, tpot_slo=boot.tpot_slo))
 
         self._procs_by_request: Dict = {}
+        self._node_by_request: Dict = {}     # request_id -> handle.name
         self._collector_task = None
+        self._health_task = None
         self._enodes = [h for h in self.handles if h.node_type.can_encode]
         self._pnodes = [h for h in self.handles if h.node_type.can_prefill]
         assert self._pnodes, "cluster has no prefill-capable node"
@@ -371,21 +480,80 @@ class ProcessCluster:
         for h in self.handles:
             while True:
                 try:
-                    await h.client.call("ping", timeout=2.0)
+                    name = await h.client.call("ping", timeout=2.0)
+                    if not h.name:
+                        h.name = name      # attached node reports its name
+                    elif name != h.name:
+                        raise RuntimeError(
+                            f"node at {h.addr} is {name}, expected {h.name}")
                     break
+                except RuntimeError:
+                    raise
                 except Exception:
-                    if not h.proc.is_alive():
+                    if h.proc is not None and not h.proc.is_alive():
                         raise RuntimeError(f"node process {h.name} died at startup")
                     if time.perf_counter() > deadline:
-                        raise TimeoutError(f"node {h.name} not ready")
+                        raise TimeoutError(f"node {h.name or h.addr} not ready")
                     await asyncio.sleep(0.2)
 
     async def start(self) -> None:
         await self.wait_ready()
+        # wire the full peer table + token plane on every node (spawned
+        # children got both at boot; re-wiring is idempotent and folds the
+        # attached nodes into the same migrate graph)
+        infos = [PeerInfo(name=h.name, node_type=h.node_type_str,
+                          tpot_slo=h.tpot_slo, addr=h.addr)
+                 for h in self.handles]
+        for h in self.handles:
+            await h.client.call("connect_tokens", self.token_addr)
+            await h.client.call(
+                "wire_peers", [p for p in infos if p.name != h.name])
         for h in self.handles:
             await h.client.call("start")
         if self._collector_task is None:
             self._collector_task = asyncio.ensure_future(self._collect_tokens())
+        if self._health_task is None and self.config.health_interval_s > 0:
+            self._health_task = asyncio.ensure_future(self._health_loop())
+
+    async def _health_loop(self) -> None:
+        """Mid-flight failure detection: a node that stops answering pings
+        (or whose process died) is declared dead after `health_strikes`
+        misses; its in-flight requests are terminated so callers see a
+        closed stream instead of a hang (reference bar: Ray max_restarts=1
+        + retry→terminate, cluster.py:131, epdnode.py:428-442)."""
+        strikes: Dict[str, int] = {}
+        while True:
+            await asyncio.sleep(self.config.health_interval_s)
+            for h in list(self.handles):
+                if not h.alive:
+                    continue
+                dead = h.proc is not None and not h.proc.is_alive()
+                if not dead:
+                    try:
+                        await h.client.call(
+                            "ping", timeout=self.config.health_interval_s)
+                        strikes[h.name] = 0
+                        continue
+                    except Exception:
+                        strikes[h.name] = strikes.get(h.name, 0) + 1
+                        if strikes[h.name] < self.config.health_strikes:
+                            continue
+                self._mark_dead(h)
+
+    def _mark_dead(self, h: "NodeHandle") -> None:
+        logger.error(f"node {h.name} ({h.addr}) is unreachable: "
+                     f"terminating its in-flight requests")
+        h.alive = False
+        if h in self._enodes:
+            self._enodes.remove(h)
+        if h in self._pnodes:
+            self._pnodes.remove(h)
+        victims = [rid for rid, name in self._node_by_request.items()
+                   if name == h.name]
+        for rid in victims:
+            self._node_by_request.pop(rid, None)
+            for proc in self._procs_by_request.pop(rid, ()):
+                proc.terminate()
 
     async def _collect_tokens(self) -> None:
         while True:
@@ -395,6 +563,7 @@ class ProcessCluster:
                 proc.append_token_id(token_id, is_last)
             if is_last:
                 self._procs_by_request.pop(request_id, None)
+                self._node_by_request.pop(request_id, None)
 
     async def add_request(self, request: Request,
                           params: RequestProcessParameters) -> None:
@@ -403,8 +572,13 @@ class ProcessCluster:
         has_image = request.image is not None or request.image_base64 is not None
         pool, key = ((self._enodes, "e") if has_image and self._enodes
                      else (self._pnodes, "p"))
+        if not pool:
+            raise RuntimeError("no live node can accept this request")
         h = pool[self._rr[key] % len(pool)]
         self._rr[key] += 1
+        # best-effort request→node map for failure termination (the request
+        # may later migrate; mid-flight death then terminates by entry node)
+        self._node_by_request[request.request_id] = h.name
         await h.client.call("add_request", request)
 
     async def metrics_async(self) -> dict:
@@ -420,18 +594,20 @@ class ProcessCluster:
         return out
 
     async def stop(self) -> None:
-        if self._collector_task is not None:
-            self._collector_task.cancel()
-            self._collector_task = None
+        for task in (self._collector_task, self._health_task):
+            if task is not None:
+                task.cancel()
+        self._collector_task = self._health_task = None
         for h in self.handles:
             try:
                 await h.client.call("stop", timeout=5.0)
             except Exception:
                 pass
         for h in self.handles:
-            h.proc.join(timeout=5.0)
-            if h.proc.is_alive():
-                h.proc.terminate()
+            if h.proc is not None:
                 h.proc.join(timeout=5.0)
+                if h.proc.is_alive():
+                    h.proc.terminate()
+                    h.proc.join(timeout=5.0)
             h.client.close()
         self.token_sock.close(linger=0)

@@ -494,6 +494,7 @@ class FillExecutor:
         fut = CallbackFuture(postprocess)
         fut.plan = plan
         fut.sampled_dev = sampled_dev
+        fut.n_steps = n_steps  # device steps this read covers (node backlog)
         return fut
 
 
@@ -537,16 +538,6 @@ class ImageEmbedExecutor:
         lcfg = model_factory.getLanguageModelConfig()
         self.n_heads = image_cache_manager.config.n_heads
         self.head_dim = image_cache_manager.config.head_dim
-        # encode-batch jit-key floor (fixed-resolution towers only): the
-        # number of images per encode batch depends on arrival/budget
-        # timing, so without bucketing every distinct count compiles a
-        # fresh ViT program (~10-15s apiece on the TPU tunnel, observed
-        # DURING serving). Padded images cost real encode FLOPs, so the
-        # floor is a high-water mark, not a fixed pad-to-budget.
-        self._img_highwater = 1
-
-    def preratchet(self, img_floor: int) -> None:
-        self._img_highwater = max(self._img_highwater, int(img_floor))
 
     @functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(1,))
     def _scatter_features(self, cache, features, slots):
@@ -567,13 +558,18 @@ class ImageEmbedExecutor:
 
         stacked = np.concatenate(pixel_values, axis=0)
         if getattr(self.worker.vision_model, "fixed_resolution", False):
-            # pad the image axis to a pow2 bucket with a high-water floor,
-            # so the encode program's jit key converges instead of
-            # compiling per image count (pad rows' features land on slot
-            # -1 below and are dropped by the scatter)
+            # pad the image axis to a pow2 bucket so the encode program's
+            # jit key converges instead of compiling per image count
+            # (pad rows' features land on slot -1 below and are dropped by
+            # the scatter). Pure pow2 — no high-water floor: a floor would
+            # make one large burst tax every later encode with pad-row ViT
+            # FLOPs forever, to save at most log2(budget) compiles. The
+            # budget profiler probes these same pow2 sizes (its latency
+            # samples include the pad cost), so scheduled batches stay
+            # inside the profiled SLO envelope.
             n_imgs = stacked.shape[0]
-            Np = max(_next_pow2(n_imgs), self._img_highwater)
-            self._img_highwater = Np
+            assert len(images_size) == n_imgs, (len(images_size), n_imgs)
+            Np = _next_pow2(n_imgs)
             if Np > n_imgs:
                 stacked = np.concatenate(
                     [stacked, np.zeros((Np - n_imgs,) + stacked.shape[1:],

@@ -24,6 +24,12 @@ class OutputTokenProcessor:
     def append_token_id(self, token_id: int, is_last_token: bool = False) -> None:
         raise NotImplementedError
 
+    def terminate(self) -> None:
+        """Abort the stream without emitting a token — used when the node
+        serving the request died mid-flight (reference analogue: the
+        retry→terminate None sentinel, epdnode.py:428-442). Subclasses that
+        hold open streams/outputs must override to close them."""
+
 
 class PrintOutputTokenProcessor(OutputTokenProcessor):
     def append_token_id(self, token_id, is_last_token=False):
@@ -44,11 +50,16 @@ class LogOutputTokenProcessor(OutputTokenProcessor):
     def __init__(self):
         self.token_ids: List[int] = []
         self.finished = False
+        self.terminated = False
 
     def append_token_id(self, token_id, is_last_token=False):
         self.token_ids.append(token_id)
         if is_last_token:
             self.finished = True
+
+    def terminate(self):
+        self.finished = True
+        self.terminated = True
 
 
 class CallbackOutputTokenProcessor(OutputTokenProcessor):
@@ -66,6 +77,9 @@ class CallbackOutputTokenProcessor(OutputTokenProcessor):
     def append_token_id(self, token_id, is_last_token=False):
         self.callback(token_id, self.decoder.push(token_id), is_last_token)
 
+    def terminate(self):
+        self.callback(-1, "", True)
+
 
 class ZmqOutputTokenProcessor(OutputTokenProcessor):
     """Cross-process streaming: (request_id, text) tuples with a None-text
@@ -81,6 +95,9 @@ class ZmqOutputTokenProcessor(OutputTokenProcessor):
         self.zmq_send.send_pyobj((self.request_id, self.decoder.push(token_id)))
         if is_last_token:
             self.zmq_send.send_pyobj((self.request_id, None))
+
+    def terminate(self):
+        self.zmq_send.send_pyobj((self.request_id, None))
 
 
 class OfflineOutputTokenProcessor(OutputTokenProcessor):
@@ -107,3 +124,10 @@ class OfflineOutputTokenProcessor(OutputTokenProcessor):
                 self.output.output_token_ids)
             if self.on_finish is not None:
                 self.on_finish(self.output)
+
+    def terminate(self):
+        self.output.finished_time = time.perf_counter()
+        self.output.text = self.tokenizer.decode_ids(
+            self.output.output_token_ids)
+        if self.on_finish is not None:
+            self.on_finish(self.output)

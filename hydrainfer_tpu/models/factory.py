@@ -233,6 +233,13 @@ def unpack_fill_batch(flat: jax.Array, image_cache: jax.Array,
 
 
 class VisionModel:
+    # Contract: a model that sets `fixed_resolution = True` (llava.py:52)
+    # MUST ignore params.original_image_sizes — the encode executor pads
+    # fixed-resolution batches to a pow2 image count and fills the pad
+    # rows' sizes by replicating the last real entry (executor.py), which
+    # is only sound when sizes are unread.
+    fixed_resolution: bool = False
+
     def forward(self, pixel_values: jax.Array,
                 params: VisionModelParameters) -> VisionModelOutput:
         raise NotImplementedError

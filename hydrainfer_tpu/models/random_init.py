@@ -14,13 +14,27 @@ from .clip import CLIPVisionConfig
 from .decoder import DecoderConfig
 
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
 def _init(key, shape, dtype, scale=0.02):
+    # jitted (one dispatch per tensor): un-jitted each init is ~3 separate
+    # dispatches, which adds up over the tunneled TPU for 100+ tensors
     return (jax.random.normal(key, shape, jnp.float32) * scale).astype(dtype)
+
+
+def _key_iter(key, n):
+    """Indexed key stream. NOT `iter(jax.random.split(...))`: iterating a
+    jax array yields elements through a path that costs ~40s per `next()`
+    over the tunneled TPU backend; indexed slices are ~ms."""
+    keys = jax.random.split(key, n)
+    return iter(keys[i] for i in range(n))
 
 
 def init_decoder_weights(cfg: DecoderConfig, key: jax.Array,
                          dtype=jnp.bfloat16) -> dict:
-    keys = iter(jax.random.split(key, cfg.n_layers * 4 + 4))
+    keys = _key_iter(key, cfg.n_layers * 4 + 4)
     H = cfg.hidden_size
     qkv_out = (cfg.n_qo_heads + 2 * cfg.n_kv_heads) * cfg.head_dim
     w = {"embed": _init(next(keys), (cfg.vocab_size, H), dtype), "layers": []}
@@ -42,7 +56,7 @@ def init_decoder_weights(cfg: DecoderConfig, key: jax.Array,
 def init_clip_weights(cfg: CLIPVisionConfig, key: jax.Array,
                       dtype=jnp.bfloat16, lm_hidden: Optional[int] = None) -> dict:
     """CLIP tower weights; if lm_hidden is given, adds the LLaVA projector."""
-    keys = iter(jax.random.split(key, cfg.n_layers * 6 + 8))
+    keys = _key_iter(key, cfg.n_layers * 6 + 8)
     H = cfg.hidden_size
     n_pos = cfg.n_patches + 1
     w = {
@@ -195,3 +209,9 @@ class RandomWeightFactory(ModelFactory):
         lm = self.getLanguageModel()
         return sum(x.size * x.dtype.itemsize
                    for x in jax.tree_util.tree_leaves(lm.weights))
+
+    def param_count(self):
+        """Parameter count independent of the weight dtype (for computing
+        dtype-normalized rooflines, e.g. the bf16 bandwidth bound)."""
+        lm = self.getLanguageModel()
+        return sum(x.size for x in jax.tree_util.tree_leaves(lm.weights))
