@@ -37,7 +37,8 @@ def run_bench(arch: str, n_requests: int, prompt_len: int, max_tokens: int,
               token_budget: int, quantization: str = "none",
               kv_int8: bool = False, image_ratio: float = 0.0,
               kv_blocks: int = 0, kv_ref: bool = True,
-              attn_impl: str = "auto", layer_loop: str = "unroll"):
+              attn_impl: str = "auto", layer_loop: str = "unroll",
+              trace_dir: str = ""):
     if attn_impl == "layered":
         layer_loop = "scan"   # the layered kernel wants the stacked value cache
     factory = RandomWeightFactory(arch, quantization=quantization,
@@ -93,9 +94,15 @@ def run_bench(arch: str, n_requests: int, prompt_len: int, max_tokens: int,
     engine.generate(make_requests(n_requests, "warm"), timeout_s=1200)
 
     reqs = make_requests(n_requests, "bench")
+    if trace_dir:
+        # trace ONLY the measured phase (warmup compiles would bloat the
+        # xplane beyond what the tunnel can ship back)
+        jax.profiler.start_trace(trace_dir)
     t0 = time.perf_counter()
     outs = engine.generate(reqs, timeout_s=1200)
     elapsed = time.perf_counter() - t0
+    if trace_dir:
+        jax.profiler.stop_trace()
 
     total_tokens = sum(len(o.output_token_ids) for o in outs)
     assert total_tokens == n_requests * max_tokens
@@ -172,18 +179,12 @@ def main():
                     help="capture a jax.profiler trace (xplane/perfetto) of "
                          "the measured run into this directory")
     args = ap.parse_args()
-    if args.trace_dir:
-        jax.profiler.start_trace(args.trace_dir)
-    try:
-        result = run_bench(args.arch, args.n_requests, args.prompt_len,
-                           args.max_tokens, args.token_budget, args.quant,
-                           kv_int8=args.kv_int8, image_ratio=args.image_ratio,
-                           kv_blocks=args.kv_blocks, kv_ref=not args.no_kv_ref,
-                           attn_impl=args.attn_impl,
-                           layer_loop=args.layer_loop)
-    finally:
-        if args.trace_dir:
-            jax.profiler.stop_trace()
+    result = run_bench(args.arch, args.n_requests, args.prompt_len,
+                       args.max_tokens, args.token_budget, args.quant,
+                       kv_int8=args.kv_int8, image_ratio=args.image_ratio,
+                       kv_blocks=args.kv_blocks, kv_ref=not args.no_kv_ref,
+                       attn_impl=args.attn_impl,
+                       layer_loop=args.layer_loop, trace_dir=args.trace_dir)
     print(json.dumps(result))
 
 

@@ -34,7 +34,7 @@ def parse_variant(spec: str) -> dict:
     v = {"label": parts[0], "layer_loop": "unroll", "bisect": "",
          "attn_impl": "auto", "quant": "none", "kv_int8": False,
          "kv_blocks": 0, "kv_ref": True, "multi_step": 1,
-         "pallas_qmm": False}
+         "pallas_qmm": False, "block_size": 16, "kv_pages_per_block": 0}
     for p in parts[1:]:
         k, _, val = p.partition("=")
         assert k in v, f"unknown variant key {k}"
@@ -54,14 +54,16 @@ def build_engine(arch, v, n_requests, prompt_len, max_tokens, token_budget):
     factory = RandomWeightFactory(
         arch, quantization=v["quant"], kv_scale=0.05 if v["kv_int8"] else None,
         layer_loop=v["layer_loop"], attention_impl=v["attn_impl"],
-        bisect=v["bisect"])
+        bisect=v["bisect"],
+        kv_pages_per_block=v["kv_pages_per_block"] or None)
+    bs = v["block_size"]
     cfg = NodeConfig(
         batch_scheduler=BatchSchedulerConfig(
             max_running_requests=n_requests, priority="prefill"),
         request_processor=RequestProcessorConfig(num_request_process_workers=1),
-        kv_block_size=16,
+        kv_block_size=bs,
         n_kv_blocks=v["kv_blocks"] or max(
-            256, 2 * n_requests * (prompt_len + max_tokens) // 16),
+            256 * 16 // bs, 2 * n_requests * (prompt_len + max_tokens) // bs),
         n_image_blocks=1)
     cfg.kv_cache_ref = v["kv_ref"]
     cfg.multi_step_decode = v["multi_step"]

@@ -197,6 +197,10 @@ class AsyncEPDNode:
         self.model_factory = model_factory or getModelFactory(self.config.model)
         self.language_config = self.model_factory.getLanguageModelConfig()
         self.vision_config = self.model_factory.getVisionModelConfig()
+        # prefix-hash granularity must equal the KV block size (executor
+        # indexes inst.hashes by cache_id // kv_block_size)
+        if self.config.request_processor.block_size != self.config.kv_block_size:
+            self.config.request_processor.block_size = self.config.kv_block_size
 
         self.worker = VanillaWorker(
             WorkerConfig(enable_vision=nt.has_vision_model,

@@ -115,6 +115,12 @@ class DecoderConfig:
     # the in-process A/B harness build ablated engines side by side (the
     # HYDRA_BISECT env var sets the same thing process-wide)
     bisect: str = ""
+    # ragged-kernel tuning override: kv pages fetched per flash block
+    # (None = upstream auto-tuned table). At short decode contexts the
+    # tuned sizes leave the kernel DMA-latency-bound (xplane: ~60% of the
+    # fused-decode program in 28 attention calls); this knob is the A/B
+    # vehicle (evaluation/ab_bench.py kv_pages_per_block=N).
+    kv_pages_per_block: Optional[int] = None
 
 
 def init_rope_tables(cfg: DecoderConfig):
@@ -249,7 +255,6 @@ def _mla_layer(x, cache, layer_id, lw, batch: LanguageModelBatch,
     H = cfg.n_qo_heads
     r, dr = cfg.mla_kv_lora, cfg.mla_rope_dim
     dn, dv = cfg.mla_nope_dim, cfg.mla_v_dim
-    assert cfg.kv_scale is None, "int8 KV not wired for MLA"
     eps = cfg.rms_norm_eps
 
     h = rms_norm(x, lw["input_norm"], eps)
@@ -277,6 +282,13 @@ def _mla_layer(x, cache, layer_id, lw, batch: LanguageModelBatch,
     q_full = jnp.concatenate([q_lat, q_pe], axis=-1)   # (T, H, r+dr)
 
     kv_vec = jnp.concatenate([c_kv[:, None, :], k_pe], axis=-1)  # (T,1,r+dr)
+    if cfg.kv_scale is not None:
+        # int8 latent cache: ONE plane (v:=k reads the same vector), so one
+        # static symmetric scale quantizes the whole [c_kv|k_pe] vector;
+        # the attention oracle dequantizes with the same kv_scale below —
+        # where the MLA byte saving compounds (BASELINE INT8-KV configs)
+        kv_vec = jnp.clip(jnp.round(kv_vec.astype(jnp.float32) / cfg.kv_scale),
+                          -127, 127).astype(jnp.int8)
     bisect = cfg.bisect or _BISECT
     if "no-write" not in bisect:
         head_axis = (cache[0].shape[-2] if isinstance(cache, (list, tuple))
@@ -305,10 +317,12 @@ def _mla_layer(x, cache, layer_id, lw, batch: LanguageModelBatch,
         from ..ops.attention import paged_attention_tp
         attn = paged_attention_tp(q_full, cache, layer_id, batch.attention,
                                   scale, max_q, cfg.mesh,
-                                  impl=cfg.attention_impl)
+                                  impl=cfg.attention_impl,
+                                  kv_scale=cfg.kv_scale)
     else:
         attn = paged_attention(q_full, cache, layer_id, batch.attention,
-                               scale, max_q, impl=cfg.attention_impl)
+                               scale, max_q, impl=cfg.attention_impl,
+                               kv_scale=cfg.kv_scale)
     ctx = attn[..., :r]                                # (T, H, r)
     out = jnp.einsum("thr,rhv->thv", ctx, lw["w_uv"],
                      preferred_element_type=jnp.float32).astype(x.dtype)
@@ -356,7 +370,8 @@ def _layer_body(x, cache, layer_id, lw, batch: LanguageModelBatch,
     else:
         attn = paged_attention(q, cache, layer_id, batch.attention,
                                1.0 / (D ** 0.5), max_q, impl=cfg.attention_impl,
-                               kv_scale=cfg.kv_scale)
+                               kv_scale=cfg.kv_scale,
+                               pages_per_block=cfg.kv_pages_per_block)
     x = x + qmatmul(attn.reshape(T, Hq * D), lw["o_proj"])
 
     h = rms_norm(x, lw["post_norm"], cfg.rms_norm_eps)
@@ -364,7 +379,7 @@ def _layer_body(x, cache, layer_id, lw, batch: LanguageModelBatch,
 
 
 def _write_kv(cache, layer_id, batch, k, v, cfg: DecoderConfig):
-    if cfg.kv_scale is not None:
+    if cfg.kv_scale is not None and k.dtype != jnp.int8:
         k = jnp.clip(jnp.round(k.astype(jnp.float32) / cfg.kv_scale),
                      -127, 127).astype(jnp.int8)
         v = jnp.clip(jnp.round(v.astype(jnp.float32) / cfg.kv_scale),
@@ -680,7 +695,8 @@ def _last_layer_and_head(weights, cache, last_cache, last_layer_id, x, batch,
     else:
         attn = paged_attention(q, last_cache, last_layer_id, batch.attention,
                                1.0 / (D ** 0.5), max_q, impl=cfg.attention_impl,
-                               kv_scale=cfg.kv_scale)
+                               kv_scale=cfg.kv_scale,
+                               pages_per_block=cfg.kv_pages_per_block)
     if per_layer:
         cache = list(cache[:-1]) + [last_cache]
     else:

@@ -347,6 +347,12 @@ def getModelFactory(config: ModelFactoryConfig,
         from .fake import FakeModelFactory
         return FakeModelFactory(config, context)
 
+    if not os.path.isdir(config.path):
+        # "org/name" repo ids auto-download in deployments with egress
+        # (HYDRAINFER_ALLOW_DOWNLOAD=1); reference: model_factory.py:121-129
+        from .downloader import ensure_local_model
+        config.path = ensure_local_model(config.path)
+
     cfg_path = os.path.join(config.path, "config.json")
     with open(cfg_path, "r", encoding="utf-8") as f:
         json_config = json.load(f)

@@ -150,12 +150,13 @@ class RandomWeightFactory(ModelFactory):
     def __init__(self, arch: str, dtype=jnp.bfloat16, quantization: str = "none",
                  kv_scale=None, multimodal: bool = False,
                  layer_loop: str = "scan", attention_impl: str = "auto",
-                 bisect: str = ""):
+                 bisect: str = "", kv_pages_per_block=None):
         import dataclasses
         self.cfg = dataclasses.replace(ARCH_CONFIGS[arch],
                                        layer_loop=layer_loop,
                                        attention_impl=attention_impl,
-                                       bisect=bisect)
+                                       bisect=bisect,
+                                       kv_pages_per_block=kv_pages_per_block)
         self.dtype = dtype
         self.quantization = quantization
         self.kv_scale = kv_scale

@@ -153,11 +153,14 @@ def paged_attention_jnp(q: jax.Array, cache: jax.Array, layer_id,
 def paged_attention_ragged(q: jax.Array, cache: jax.Array, layer_id,
                            params: PagedAttentionParams, sm_scale: float,
                            k_scale: Optional[float] = None,
-                           v_scale: Optional[float] = None) -> jax.Array:
+                           v_scale: Optional[float] = None,
+                           pages_per_block: Optional[int] = None) -> jax.Array:
     """TPU Pallas kernel path (vLLM-style ragged paged attention)."""
     from jax.experimental.pallas.ops.tpu.ragged_paged_attention.kernel import (
         ragged_paged_attention)
     kv_pages = cache[layer_id, 0]  # (n_blocks, block_size, 2*KVH, D) view
+    if pages_per_block is not None:
+        pages_per_block = min(pages_per_block, params.block_tables.shape[1])
     return ragged_paged_attention(
         q, kv_pages,
         kv_lens=params.kv_lens,
@@ -166,6 +169,7 @@ def paged_attention_ragged(q: jax.Array, cache: jax.Array, layer_id,
         num_seqs=params.num_seqs,
         sm_scale=sm_scale,
         k_scale=k_scale, v_scale=v_scale,
+        num_kv_pages_per_block=pages_per_block,
     )
 
 
@@ -252,7 +256,8 @@ _FALLBACK_LOGGED = False
 def paged_attention(q: jax.Array, cache: jax.Array, layer_id,
                     params: PagedAttentionParams, sm_scale: float,
                     max_q: int, impl: str = "auto",
-                    kv_scale: Optional[float] = None) -> jax.Array:
+                    kv_scale: Optional[float] = None,
+                    pages_per_block: Optional[int] = None) -> jax.Array:
     """Handler-chain entry point. See module docstring for impl choices."""
     if cache.shape[-2] == 1:
         # single-plane latent cache (MLA): the interleaved-K/V kernels
@@ -270,7 +275,8 @@ def paged_attention(q: jax.Array, cache: jax.Array, layer_id,
             if impl == "auto" and jax.default_backend() != "tpu":
                 raise ImportError("ragged kernel is TPU-only; fall back")
             return paged_attention_ragged(q, cache, layer_id, params, sm_scale,
-                                          k_scale=kv_scale, v_scale=kv_scale)
+                                          k_scale=kv_scale, v_scale=kv_scale,
+                                          pages_per_block=pages_per_block)
         except Exception as e:
             if impl in ("ragged", "pallas"):
                 raise

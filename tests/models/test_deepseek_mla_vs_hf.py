@@ -88,6 +88,45 @@ def test_mla_qlora_token_exact_vs_hf(tiny_dsv3):
     _check(*tiny_dsv3, seed=3)
 
 
+def test_mla_int8_kv_close_to_fp32(tiny_dsv3):
+    """INT8 latent cache (single-plane, one static scale for the whole
+    [c_kv|k_pe] vector): logits must stay close to the fp32-cache run and
+    greedy decode must still work end-to-end. This is the BASELINE
+    INT8-KV config applied where the byte saving compounds (MLA)."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_llama_vs_hf import make_single_seq_batch
+
+    path, _ = tiny_dsv3
+    prompt = list(np.random.default_rng(7).integers(0, VOCAB, size=9))
+
+    def run(kv_dtype):
+        factory = getModelFactory(ModelFactoryConfig(
+            path=path, dtype="float32", attention_impl="jnp",
+            kv_cache_dtype=kv_dtype))
+        lm = factory.getLanguageModel()
+        lcfg = factory.getLanguageModelConfig()
+        cache_dtype = jnp.int8 if kv_dtype == "int8" else jnp.float32
+        cache = jnp.zeros((lcfg.n_layers, 1, 16, 4, 2 * lcfg.n_kv_heads,
+                           lcfg.head_dim), cache_dtype)
+        batch, T = make_single_seq_batch(prompt, n_past=0)
+        cache, tokens, logits = lm.forward_with_logits(cache, batch, max_q=T)
+        out = [int(tokens[0])]
+        for _ in range(4):
+            batch, _ = make_single_seq_batch([out[-1]],
+                                             n_past=len(prompt) + len(out) - 1)
+            cache, tokens, _ = lm.forward_with_logits(cache, batch, max_q=1)
+            out.append(int(tokens[0]))
+        return out, np.asarray(logits)[0]
+
+    fp_out, fp_logits = run("auto")
+    q_out, q_logits = run("int8")
+    # static-scale int8 quantization of the latent vector: small logit
+    # perturbation, same scale class as weight-int8 (not token-exact)
+    np.testing.assert_allclose(q_logits, fp_logits, atol=0.35, rtol=0.1)
+    assert len(q_out) == 5
+
+
 def test_mla_plain_q_token_exact_vs_hf(tiny_dsv3_noqlora):
     _check(*tiny_dsv3_noqlora, seed=4)
 

@@ -181,6 +181,40 @@ def test_pp_engine_matches_single_device():
     assert pp == single
 
 
+def test_pp_engine_single_request_relay_fallback():
+    """One resident request: the decode batch bucket (S=1) is smaller than
+    the stage count, so the GPipe schedule's S % n_micro / S >= n_micro
+    gate (models/llama.py:_flat_pp_fn) must fall back to the relay — and
+    the tokens must still match the single-device engine exactly."""
+    from hydrainfer_tpu.cluster.node import NodeConfig
+    from hydrainfer_tpu.engine.request_processor import RequestProcessorConfig
+    from hydrainfer_tpu.engine.scheduler import BatchSchedulerConfig
+    from hydrainfer_tpu.entrypoint.offline import OfflineEngine
+    from hydrainfer_tpu.models.random_init import RandomWeightFactory
+    from hydrainfer_tpu.request import Request, SamplingParameters
+
+    def run(devices=None, parallel="tp"):
+        factory = RandomWeightFactory("tiny-lm", layer_loop="unroll")
+        cfg = NodeConfig(
+            batch_scheduler=BatchSchedulerConfig(max_running_requests=2),
+            request_processor=RequestProcessorConfig(
+                num_request_process_workers=1, block_size=4),
+            kv_block_size=4, n_kv_blocks=128, n_image_blocks=1)
+        cfg.model.dtype = "fp32"
+        engine = OfflineEngine(cfg, model_factory=factory, node_type="PD",
+                               devices=devices, parallel=parallel)
+        reqs = [Request(request_id="solo", prompt="one lonely request",
+                        sampling_params=SamplingParameters(max_tokens=6,
+                                                           ignore_eos=True))]
+        return [o.output_token_ids
+                for o in engine.generate(reqs, timeout_s=600)]
+
+    single = run()
+    pp = run(devices=jax.devices()[:2], parallel="pp")
+    assert [len(t) for t in single] == [6]
+    assert pp == single
+
+
 def test_pp_microbatched_decode_matches_single():
     """The GPipe-microbatched decode schedule must produce the same tokens
     and cache writes as the single-device step (mixed live/padded seqs)."""

@@ -103,8 +103,10 @@ def test_cluster_tp_groups(tiny_llama_path):
     import time
 
     def provider():
+        # attention_impl left at "auto": TP groups route through the
+        # shard_map attention path, same as production (no oracle pin)
         f = getModelFactory(ModelFactoryConfig(
-            path=tiny_llama_path, dtype="float32", attention_impl="jnp"))
+            path=tiny_llama_path, dtype="float32"))
         f.getTokenizer = lambda: SimpleTokenizer()
         return f
     cfg = ClusterConfig(tp_size=4)
