@@ -38,7 +38,8 @@ def run_bench(arch: str, n_requests: int, prompt_len: int, max_tokens: int,
               kv_int8: bool = False, image_ratio: float = 0.0,
               kv_blocks: int = 0, kv_ref: bool = True,
               attn_impl: str = "auto", layer_loop: str = "unroll",
-              trace_dir: str = ""):
+              trace_dir: str = "", pipeline: str = "",
+              multi_step: int = 0):
     if attn_impl == "layered":
         layer_loop = "scan"   # the layered kernel wants the stacked value cache
     factory = RandomWeightFactory(arch, quantization=quantization,
@@ -61,6 +62,10 @@ def run_bench(arch: str, n_requests: int, prompt_len: int, max_tokens: int,
     cfg.boot_warmup = True
     cfg.model.dtype = "bf16"
     cfg.model.attention_impl = attn_impl
+    if pipeline:
+        cfg.pipeline_mode = pipeline
+    if multi_step:
+        cfg.multi_step_decode = multi_step
     if kv_int8:
         cfg.model.kv_cache_dtype = "int8"
     if image_ratio > 0:
@@ -178,13 +183,20 @@ def main():
     ap.add_argument("--trace-dir", default="",
                     help="capture a jax.profiler trace (xplane/perfetto) of "
                          "the measured run into this directory")
+    ap.add_argument("--pipeline", default="",
+                    choices=["", "batched", "incremental", "threaded"],
+                    help="token-read pipeline mode (see NodeConfig; empty = "
+                         "node default)")
+    ap.add_argument("--multi-step", type=int, default=0,
+                    help="fused decode window K (0 = node default)")
     args = ap.parse_args()
     result = run_bench(args.arch, args.n_requests, args.prompt_len,
                        args.max_tokens, args.token_budget, args.quant,
                        kv_int8=args.kv_int8, image_ratio=args.image_ratio,
                        kv_blocks=args.kv_blocks, kv_ref=not args.no_kv_ref,
                        attn_impl=args.attn_impl,
-                       layer_loop=args.layer_loop, trace_dir=args.trace_dir)
+                       layer_loop=args.layer_loop, trace_dir=args.trace_dir,
+                       pipeline=args.pipeline, multi_step=args.multi_step)
     print(json.dumps(result))
 
 

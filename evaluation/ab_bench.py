@@ -34,7 +34,8 @@ def parse_variant(spec: str) -> dict:
     v = {"label": parts[0], "layer_loop": "unroll", "bisect": "",
          "attn_impl": "auto", "quant": "none", "kv_int8": False,
          "kv_blocks": 0, "kv_ref": True, "multi_step": 1,
-         "pallas_qmm": False, "block_size": 16, "kv_pages_per_block": 0}
+         "pallas_qmm": False, "block_size": 16, "kv_pages_per_block": 0,
+         "pipeline": "batched", "depth": 2, "post_k": 4}
     for p in parts[1:]:
         k, _, val = p.partition("=")
         assert k in v, f"unknown variant key {k}"
@@ -67,6 +68,9 @@ def build_engine(arch, v, n_requests, prompt_len, max_tokens, token_budget):
         n_image_blocks=1)
     cfg.kv_cache_ref = v["kv_ref"]
     cfg.multi_step_decode = v["multi_step"]
+    cfg.pipeline_mode = v["pipeline"]
+    cfg.async_pipeline_depth = v["depth"]
+    cfg.postprocess_batch_steps = v["post_k"]
     cfg.boot_warmup = True   # converge jit keys at boot; round 0 stays clean
     cfg.model.dtype = "bf16"
     cfg.model.attention_impl = v["attn_impl"]

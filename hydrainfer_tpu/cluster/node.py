@@ -119,10 +119,30 @@ class NodeConfig:
     # verify step is synchronous (drains the async pipeline), so it trades
     # throughput for latency — a trade that only wins when latency-bound
     spec_max_batch: int = 8
-    # run fill postprocessing on a background thread instead (not the
-    # default: on small hosts the reader thread starves the runtime's I/O)
+    # how the deferred token reads leave the async pipeline:
+    #   "batched"     — ONE concatenated device→host read for every pending
+    #                   window once the backlog cap is hit (fewest tunnel
+    #                   round-trips, but the flush blocks the step loop with
+    #                   nothing newly dispatched: the device idles through
+    #                   the whole read+postprocess, and tokens arrive in
+    #                   multi-window bursts — BENCH_r02's p99 token gap IS
+    #                   the window-pair period)
+    #   "incremental" — drain completed windows eagerly and at most ONE
+    #                   in-flight window when over the cap, so >=1 window
+    #                   stays enqueued on the device during every host
+    #                   read/postprocess: device idle time ~0, token bursts
+    #                   = one window
+    #   "threaded"    — hand read+postprocess to a single reader thread; the
+    #                   step loop never blocks on tokens at all (the read
+    #                   releases the GIL during the tunnel transfer). On
+    #                   small hosts the reader thread can starve the
+    #                   runtime's I/O — A/B before defaulting.
+    pipeline_mode: str = "incremental"
+    # legacy alias for pipeline_mode="threaded"
     threaded_postprocess: bool = False
-    max_threaded_backlog: int = 32
+    # threaded mode: max windows in flight before the loop blocks (bounds
+    # token-delivery/termination staleness to ~this many windows)
+    max_threaded_backlog: int = 4
     token_table_size: int = 4096
 
 
@@ -212,7 +232,8 @@ class AsyncEPDNode:
             self.model_factory, token_table_size=self.config.token_table_size)
         self._pending_fills = []
         self._post_pool = None
-        if self.config.threaded_postprocess:
+        if (self.config.threaded_postprocess
+                or self.config.pipeline_mode == "threaded"):
             from concurrent.futures import ThreadPoolExecutor
             # single worker: postprocess stays strictly FIFO
             self._post_pool = ThreadPoolExecutor(
@@ -475,29 +496,7 @@ class AsyncEPDNode:
             self.flush_fills()
         self.executor.execute_empty(empties)
         embed_future.get()
-        if self._post_pool is not None:
-            if len(self._pending_fills) > self.config.max_threaded_backlog:
-                self.flush_fills()
-        else:
-            k = self.config.postprocess_batch_steps
-            if self.config.adaptive_postprocess:
-                k = adaptive_postprocess_k(
-                    self.batch_scheduler.n_resident,
-                    len(self.batch_scheduler.waiting),
-                    self.batch_scheduler.config.max_running_requests, k)
-            # Backlog is counted in DEVICE STEPS, not pipeline entries: a
-            # fused window already covers n_steps decode steps, so one
-            # read per ~k steps (the amortization target) means flushing
-            # as soon as ≥k steps are pending — while keeping ≥2 entries
-            # in flight so the device always has a dispatched program to
-            # run during the host's read+postprocess. Counting entries
-            # here let k fused windows (k² steps ≈ 64 × ~4ms) accumulate
-            # before a flush — the 274ms p99 token-gap tail of BENCH_r02.
-            backlog_steps = max(self.config.async_pipeline_depth, k)
-            pending_steps = sum(getattr(f, "n_steps", 1)
-                                for f in self._pending_fills)
-            if pending_steps > backlog_steps and len(self._pending_fills) >= 2:
-                self.flush_fills()
+        self._drain_pipeline()
         await asyncio.gather(*migrate_tasks)
 
         if self.config.log_latency_breakdown:
@@ -576,6 +575,55 @@ class AsyncEPDNode:
     # ---------------- 4-step migration protocol ----------------
     # 1. sender picks a target and hands over the RCB (with its virtual
     #    caches still pointing at the sender's blocks)
+    def _drain_pipeline(self) -> None:
+        """Post-dispatch pipeline maintenance (once per step). Keeps the
+        async fill pipeline bounded per config.pipeline_mode — see the
+        NodeConfig docs for the three modes' trade-offs."""
+        if not self._pending_fills:
+            return
+        cfg = self.config
+        if self._post_pool is not None:
+            # reader thread owns read+postprocess; reap finished entries and
+            # bound the backlog so token/termination staleness stays finite
+            while self._pending_fills and self._pending_fills[0].done():
+                self._pending_fills.pop(0).result()
+            while len(self._pending_fills) > cfg.max_threaded_backlog:
+                self._wait_one()
+            return
+        # Backlog is counted in DEVICE STEPS, not pipeline entries: a fused
+        # window already covers n_steps decode steps, so one read per ~k
+        # steps (the amortization target) means draining as soon as ≥k
+        # steps are pending — while keeping ≥2 entries in flight so the
+        # device always has a dispatched program to run during the host's
+        # read+postprocess.
+        k = cfg.postprocess_batch_steps
+        if cfg.adaptive_postprocess:
+            k = adaptive_postprocess_k(
+                self.batch_scheduler.n_resident,
+                len(self.batch_scheduler.waiting),
+                self.batch_scheduler.config.max_running_requests, k)
+        backlog_steps = max(cfg.async_pipeline_depth, k)
+        if cfg.pipeline_mode == "incremental":
+            # completed windows first (their read is a bare transfer)...
+            while self._pending_fills:
+                dev = getattr(self._pending_fills[0], "sampled_dev", None)
+                if dev is None or not dev.is_ready():
+                    break
+                self._wait_one()
+            # ...then force at most the backlog overflow, oldest first, so
+            # at least one later window stays enqueued on the device
+            # through each blocking read
+            pending = sum(getattr(f, "n_steps", 1)
+                          for f in self._pending_fills)
+            while pending > backlog_steps and len(self._pending_fills) >= 2:
+                pending -= getattr(self._pending_fills[0], "n_steps", 1)
+                self._wait_one()
+            return
+        pending_steps = sum(getattr(f, "n_steps", 1)
+                            for f in self._pending_fills)
+        if pending_steps > backlog_steps and len(self._pending_fills) >= 2:
+            self.flush_fills()
+
     def _wait_one(self) -> None:
         item = self._pending_fills.pop(0)
         if hasattr(item, "result"):  # concurrent.futures.Future (reader thread)
