@@ -127,6 +127,11 @@ def node_metrics(node) -> dict:
     if fx is not None and getattr(fx, "spec_steps", 0):
         row["spec_steps"] = fx.spec_steps
         row["spec_tokens"] = fx.spec_tokens
+    pulls = getattr(node, "_pull_stats", None)
+    if pulls and pulls["n"]:
+        row["migration_pulls"] = pulls["n"]
+        row["migration_pull_s_total"] = round(pulls["seconds"], 4)
+        row["migration_pull_mb"] = round(pulls["bytes"] / 1e6, 3)
     return row
 
 

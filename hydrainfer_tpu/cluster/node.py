@@ -231,6 +231,13 @@ class AsyncEPDNode:
             self.kv_cache_manager, self.image_cache_manager, self.worker,
             self.model_factory, token_table_size=self.config.token_table_size)
         self._pending_fills = []
+        # in-flight background cache pulls (see _execute_pull_cache):
+        # decode steps keep running while a migrated request's blocks are
+        # in transit (overlap the transfer with compute — the reference
+        # overlaps NCCL isend/irecv on a dedicated migrate stream,
+        # memory/communication.py:50-75)
+        self._pull_tasks: set = set()
+        self._pull_stats = {"n": 0, "seconds": 0.0, "bytes": 0}
         self._post_pool = None
         if (self.config.threaded_postprocess
                 or self.config.pipeline_mode == "threaded"):
@@ -503,7 +510,9 @@ class AsyncEPDNode:
             self._stamp_execute_end(fills, embeds)
 
         now = time.perf_counter()
-        for b in (embeds, fills, empties, pulls):
+        # pulls are NOT rejoined here — their background task re-enqueues
+        # them when the transfer lands (_pull_one)
+        for b in (embeds, fills, empties):
             for rcb, _ in b:
                 if rcb.is_finished():
                     rcb.metric.finished_time = now
@@ -545,6 +554,8 @@ class AsyncEPDNode:
     async def stop(self) -> None:
         self._stop = True
         for t in self._tasks:
+            t.cancel()
+        for t in list(self._pull_tasks):
             t.cancel()
 
     async def step_loop(self) -> None:
@@ -687,37 +698,67 @@ class AsyncEPDNode:
         inst.src_node = src_node
         self.batch_scheduler.schedule_new(rcb)
 
-    # 3. receiver pulls the blocks (device-to-device transfer)
+    # 3. receiver pulls the blocks (device-to-device transfer). The pull is
+    # a BACKGROUND task: the step loop keeps dispatching decode windows
+    # while the blocks are in transit (transfer overlapped with compute;
+    # the rcb rejoins the scheduler only when its cache has landed).
     async def _execute_pull_cache(self, batch: BatchRequest) -> None:
         for rcb, inst in batch:
-            m = rcb.metric
-            (m.ep_transfer if not m.ep_transfer else m.pd_transfer).append(time.perf_counter())
+            task = asyncio.create_task(self._pull_one(rcb, inst))
+            self._pull_tasks.add(task)
+            task.add_done_callback(self._pull_tasks.discard)
 
-            src_node: AsyncEPDNode = inst.src_node
-            old = copy.copy(rcb)
-            # The token-table slot belongs to the SOURCE node's executor;
-            # keeping it would make the destination's acquire_slot no-op and
-            # later inject a foreign slot id into its free list (two requests
-            # could then share one slot). Reset so the destination allocates
-            # its own; the source slot is freed via free_migrate_request(old),
-            # and the first post-migration decode token is host-resolved by
-            # flush_fills so no device-side feedback is lost.
-            rcb.token_slot = -1
-            nt = self.context.node_type
-            if rcb.virtual_kv_cache is not None and nt.has_kv_cache:
+    async def _pull_one(self, rcb: RequestControlBlock, inst) -> None:
+        t0 = time.perf_counter()
+        m = rcb.metric
+        (m.ep_transfer if not m.ep_transfer else m.pd_transfer).append(t0)
+
+        src_node: AsyncEPDNode = inst.src_node
+        old = copy.copy(rcb)
+        # The token-table slot belongs to the SOURCE node's executor;
+        # keeping it would make the destination's acquire_slot no-op and
+        # later inject a foreign slot id into its free list (two requests
+        # could then share one slot). Reset so the destination allocates
+        # its own; the source slot is freed via free_migrate_request(old),
+        # and the first post-migration decode token is host-resolved by
+        # flush_fills so no device-side feedback is lost.
+        rcb.token_slot = -1
+        nt = self.context.node_type
+        # hand the SOURCE's virtual caches off the rcb before pulling: on a
+        # failed pull, _free_cache(rcb) must only ever see DESTINATION
+        # caches (freeing a source block table against this node's
+        # allocator would corrupt it); `old` still carries the source vcs
+        # for the source-side free
+        src_kv, src_img = rcb.virtual_kv_cache, rcb.virtual_image_cache
+        rcb.virtual_kv_cache = rcb.virtual_image_cache = None
+        try:
+            if src_kv is not None and nt.has_kv_cache:
                 rcb.virtual_kv_cache = await self._pull_virtual_cache(
-                    src_node, rcb.virtual_kv_cache, is_kv=True)
-            else:
-                rcb.virtual_kv_cache = None
-            if rcb.virtual_image_cache is not None and nt.has_image_cache:
+                    src_node, src_kv, is_kv=True)
+            if src_img is not None and nt.has_image_cache:
                 rcb.virtual_image_cache = await self._pull_virtual_cache(
-                    src_node, rcb.virtual_image_cache, is_kv=False)
-            else:
-                rcb.virtual_image_cache = None
+                    src_node, src_img, is_kv=False)
             await src_node.free_migrate_request(old)
-            rcb.step()
+        except Exception:
+            logger.exception(f"{rcb.request_id} cache pull from "
+                             f"{src_node} failed")
+            self._free_cache(rcb)
+            for proc in rcb.output_token_processors:
+                proc.append_token_id(self.language_config.eos_token_id, True)
+            return
+        rcb.step()
 
-            (m.ep_transfer if len(m.ep_transfer) == 1 else m.pd_transfer).append(time.perf_counter())
+        now = time.perf_counter()
+        (m.ep_transfer if len(m.ep_transfer) == 1 else m.pd_transfer).append(now)
+        self._pull_stats["n"] += 1
+        self._pull_stats["seconds"] += now - t0
+        if rcb.is_finished():
+            m.finished_time = now
+            self._free_cache(rcb)
+            if self.config.log_latency_breakdown:
+                log_latency_breakdown(m)
+        else:
+            self.batch_scheduler.schedule_running(rcb)
 
     async def _pull_virtual_cache(self, src_node, src_vc, is_kv: bool):
         dst_mgr = self.kv_cache_manager if is_kv else self.image_cache_manager
@@ -735,6 +776,7 @@ class AsyncEPDNode:
                            else src_node.image_cache_manager)
                 blocks = src_mgr.gather_blocks(src_vc.block_table)
                 blocks = jax.device_put(blocks, dst_mgr.device)  # ICI/DCN hop
+            self._pull_stats["bytes"] += int(getattr(blocks, "nbytes", 0))
             dst_mgr.scatter_blocks(dst_vc.block_table, blocks)
         return dst_vc
 

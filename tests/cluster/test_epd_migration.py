@@ -133,6 +133,92 @@ def test_migrated_kv_blocks_content():
     np.testing.assert_allclose(got, data, rtol=1e-6)
 
 
+def test_decode_proceeds_during_pull():
+    """Cache pulls are OVERLAPPED with compute: while a migrated request's
+    blocks are in transit (a background task on the destination), the
+    destination keeps issuing decode steps for its resident requests —
+    the transfer must never stall the decode loop (reference overlaps
+    NCCL transfers on a migrate stream, memory/communication.py:50-75).
+    Also pins the migration stats surfaced in /metrics."""
+    p = make_node("p5", "P")
+    d = make_node("d5", "D")
+    wire([p, d])
+
+    pull_windows = []
+    orig_pull = d._pull_virtual_cache
+
+    async def slow_pull(src_node, src_vc, is_kv):
+        t0 = time.perf_counter()
+        for _ in range(10):          # a slow DCN-ish transfer, cooperative
+            await asyncio.sleep(0.02)
+        out = await orig_pull(src_node, src_vc, is_kv)
+        pull_windows.append((t0, time.perf_counter()))
+        return out
+
+    d._pull_virtual_cache = slow_pull
+
+    fill_times = []
+    orig_exec = d.executor.execute_fill
+
+    def spy(batch, n_steps=1):
+        if len(batch):
+            fill_times.append(time.perf_counter())
+        return orig_exec(batch, n_steps=n_steps)
+
+    d.executor.execute_fill = spy
+
+    async def scenario():
+        done = []
+        tokenizer = p.model_factory.getTokenizer()
+        outs = []
+
+        async def submit(req):
+            out = OfflineInferenceOutput(arrival_time=time.perf_counter())
+            outs.append(out)
+            proc = OfflineOutputTokenProcessor(
+                out, tokenizer, on_finish=lambda o: done.append(o))
+            await p.add_request(req, RequestProcessParameters(
+                output_token_processors=[proc],
+                output_token_params=OutputTokenParams(stream_output=False)))
+
+        await submit(Request(request_id="resident", prompt="long decoder",
+                             sampling_params=SamplingParameters(
+                                 max_tokens=60, ignore_eos=True)))
+        deadline = time.perf_counter() + 60
+        sent_b = False
+        while len(done) < 2:
+            for node in (p, d):
+                await node.step()
+            await asyncio.sleep(0)
+            # once the resident request is decoding on d, send the second
+            # request — ITS pull must overlap the resident's decode steps
+            if not sent_b and len(outs[0].output_token_ids) >= 3:
+                sent_b = True
+                await submit(Request(
+                    request_id="migrator", prompt="late arriving request",
+                    sampling_params=SamplingParameters(max_tokens=5,
+                                                       ignore_eos=True)))
+            assert time.perf_counter() < deadline, "stalled"
+        return outs
+
+    outs = asyncio.run(scenario())
+    assert len(outs[0].output_token_ids) == 60
+    assert len(outs[1].output_token_ids) == 5
+    assert len(pull_windows) == 2
+    # decode fills issued strictly inside the second pull's transfer window
+    t0, t1 = pull_windows[1]
+    overlapped = [t for t in fill_times if t0 < t < t1]
+    assert len(overlapped) >= 3, (
+        f"decode stalled during pull: {len(overlapped)} fills in "
+        f"{t1 - t0:.3f}s window")
+    # migration stats reach /metrics
+    from hydrainfer_tpu.cluster.cluster import node_metrics
+    m = node_metrics(d)
+    assert m["migration_pulls"] == 2
+    assert m["migration_pull_s_total"] > 0.4  # 2 pulls x 10 x 20ms sleeps
+    assert m["migration_pull_mb"] > 0
+
+
 def test_migration_does_not_leak_token_slots():
     """Regression: a migrated RCB must not carry the source node's token-table
     slot — the destination would skip allocation and, on completion, inject a
