@@ -92,10 +92,13 @@ class NodeConfig:
     # analogue of replaying the reference's all-decode CUDA graph K times.
     # Engine A/B on chip: 2.24x at K=4, 2.39x at K=8 (paired, b32) — the
     # per-dispatch tunnel/host cost dominated the decode step. 1 = off.
+    # With the incremental pipeline K=16 is another 1.34x over K=8 (the
+    # batched flush used to idle the device through a 2-window read, which
+    # is what capped K at 8 — round-3 chip A/B, PERF_NOTES). 1 = off.
     # The executor shrinks the window when requests run out of pre-created
     # decode Fills or KV blocks; under adaptive_postprocess the window also
     # shrinks at light load (streaming latency over throughput).
-    multi_step_decode: int = 8
+    multi_step_decode: int = 16
     # n-gram speculative decoding (prompt-lookup; greedy batches only):
     # propose up to this many draft tokens per request from the request's
     # own context and verify them in ONE device step — each accepted draft
