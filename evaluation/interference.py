@@ -80,8 +80,12 @@ def run_analysis(arch: str, tiny: bool = False, batch: int = 16,
 
     results = {}
 
-    def measure(name, engine, reqs, warm_reqs):
-        engine.generate(warm_reqs, timeout_s=1200)       # compile buckets
+    def measure(name, engine, make_reqs, make_warm_reqs):
+        engine.generate(make_warm_reqs(), timeout_s=1200)  # compile buckets
+        # requests are created AFTER the warmup: arrival_time stamps at
+        # construction, so building them earlier would fold the warmup's
+        # compile time into every measured TTFT
+        reqs = make_reqs()
         t0 = time.perf_counter()
         outs = engine.generate(reqs, timeout_s=1200)
         elapsed = time.perf_counter() - t0
@@ -104,8 +108,8 @@ def run_analysis(arch: str, tiny: bool = False, batch: int = 16,
     kv_blocks = max(256, 2 * batch * (prompt_len + gen) // 16)
     eng = _engine(factory, kv_blocks, 1, -1, batch, "PD")
     measure("decode_only", eng,
-            _requests(batch, prompt_len, gen, tag="d"),
-            _requests(batch, prompt_len, gen, tag="dw"))
+            lambda: _requests(batch, prompt_len, gen, tag="d"),
+            lambda: _requests(batch, prompt_len, gen, tag="dw"))
     del eng
 
     # 2 + 3. colocated EPD: same text workload with every 4th request
@@ -114,11 +118,11 @@ def run_analysis(arch: str, tiny: bool = False, batch: int = 16,
     img_tokens = factory_mm.clip_cfg.n_patches
     eng = _engine(factory_mm, kv_blocks, max(8, batch), img_tokens, batch, "EPD")
     measure("encode_only", eng,
-            _requests(batch // 2, 4, 2, image_every=1, tag="e"),
-            _requests(batch // 2, 4, 2, image_every=1, tag="ew"))
+            lambda: _requests(batch // 2, 4, 2, image_every=1, tag="e"),
+            lambda: _requests(batch // 2, 4, 2, image_every=1, tag="ew"))
     measure("colocated_epd", eng,
-            _requests(batch, prompt_len, gen, image_every=4, tag="c"),
-            _requests(batch, prompt_len, gen, image_every=4, tag="cw"))
+            lambda: _requests(batch, prompt_len, gen, image_every=4, tag="c"),
+            lambda: _requests(batch, prompt_len, gen, image_every=4, tag="cw"))
     del eng
 
     d, c = results["decode_only"], results["colocated_epd"]

@@ -11,10 +11,15 @@ within one host it is plain loopback.
 Planes:
   control   — parent → node: add_request/start/stop; node → node:
               migrate hand-off + free (the 4-step protocol's steps 1+4).
-  cache data— destination pulls blocks from the source with a
-              `gather_blocks` RPC (numpy payload) and lands them on its own
-              device via scatter; replaces the reference's cross-actor NCCL
-              isend/irecv (memory/communication.py:50-123).
+  cache data— destination pulls blocks from the source: same-host peers
+              hand the payload over POSIX shared memory (gather_blocks_shm,
+              one mmap copy each side — the reference's intranode CUDA-IPC
+              analogue), cross-host peers over the pickled-numpy RPC (DCN);
+              either way the destination lands them on its own device via
+              scatter, and the pull runs as a background task overlapped
+              with decode (replaces the reference's cross-actor NCCL
+              isend/irecv + migrate-stream overlap,
+              memory/communication.py:50-123).
   tokens    — every node PUSHes (request_id, token_id, is_last) to the
               parent collector which fans out to the request's registered
               output-token processors (reference: the ZMQ sentinel stream,
@@ -87,6 +92,33 @@ def rcb_to_payload(rcb) -> bytes:
             setattr(obj, attr, orig)
 
 
+def _host_id() -> str:
+    """Boot-stable machine identity: every process on one host sees the
+    same value, so two nodes compare it to decide whether the shared-memory
+    cache data plane is available between them."""
+    try:
+        with open("/proc/sys/kernel/random/boot_id") as f:
+            return f.read().strip()
+    except OSError:
+        import socket
+        return socket.gethostname()
+
+
+def _shm_untrack(shm) -> None:
+    """Detach the CREATOR's resource_tracker from a segment whose ownership
+    crosses processes (the source creates it, the destination unlinks it
+    after copying) — the per-process tracker cannot model that hand-off and
+    would double-unlink at exit with a warning. Only the creating side may
+    call this: attaching (create=False) never registers with the tracker,
+    so unregistering there sends the tracker process a bogus message it
+    logs a KeyError for."""
+    from multiprocessing import resource_tracker
+    try:
+        resource_tracker.unregister(shm._name, "shared_memory")
+    except Exception:
+        pass
+
+
 class TokenPushProcessor(OutputTokenProcessor):
     """Node-side processor streaming (request_id, token_id, is_last) to the
     parent collector. One PUSH socket per node process."""
@@ -118,6 +150,8 @@ class PeerNodeProxy:
         self.name = info.name
         self._stash = migrating_stash
         self._client: Optional[RpcClient] = None
+        self._same_host: Optional[bool] = None   # resolved on first pull
+        self.shm_pulls = 0
 
     def _rpc(self) -> RpcClient:
         if self._client is None:
@@ -136,8 +170,34 @@ class PeerNodeProxy:
             raise
 
     # step 3 data plane: destination pulls blocks from us — called on the
-    # DESTINATION's proxy of the source
+    # DESTINATION's proxy of the source. Same-host peers hand the payload
+    # over POSIX shared memory (one mmap'd copy each side, nothing rides
+    # the socket); cross-host peers fall back to the pickled-numpy RPC
+    # (DCN path). The reference's equivalents: CUDA-IPC peer copies
+    # intranode, NCCL isend/irecv internode (memory/communication.py:23-75).
     async def gather_blocks(self, is_kv: bool, block_table: List[int]):
+        if self._same_host is None:
+            if os.environ.get("HYDRAINFER_DISABLE_SHM_PULL"):
+                self._same_host = False      # operator kill-switch / tests
+            else:
+                try:
+                    self._same_host = (
+                        await self._rpc().call("host_id")) == _host_id()
+                except Exception:
+                    self._same_host = False
+        if self._same_host:
+            import numpy as np
+            from multiprocessing import shared_memory
+            name, shape, dtype = await self._rpc().call(
+                "gather_blocks_shm", is_kv, block_table)
+            shm = shared_memory.SharedMemory(name=name)
+            try:
+                blocks = np.array(np.ndarray(shape, dtype, buffer=shm.buf))
+            finally:
+                shm.close()
+                shm.unlink()     # destination owns the segment (see handle)
+            self.shm_pulls += 1
+            return blocks
         return await self._rpc().call("gather_blocks", is_kv, block_table)
 
     # step 4: destination tells the source to free the migrated request
@@ -249,6 +309,25 @@ class NodeWorker:
                    else self.node.image_cache_manager)
             import numpy as np
             return np.asarray(mgr.gather_blocks(block_table))
+        if method == "host_id":
+            return _host_id()
+        if method == "gather_blocks_shm":
+            # same-host data plane: land the gathered blocks in a POSIX
+            # shared-memory segment and return its name — the destination
+            # maps it, copies, and unlinks (ownership transfers with the
+            # reply; our handle closes now)
+            is_kv, block_table = args
+            mgr = (self.node.kv_cache_manager if is_kv
+                   else self.node.image_cache_manager)
+            import numpy as np
+            from multiprocessing import shared_memory
+            blocks = np.asarray(mgr.gather_blocks(block_table))
+            shm = shared_memory.SharedMemory(create=True, size=blocks.nbytes)
+            np.ndarray(blocks.shape, blocks.dtype, buffer=shm.buf)[...] = blocks
+            reply = (shm.name, blocks.shape, blocks.dtype)
+            _shm_untrack(shm)
+            shm.close()
+            return reply
         if method == "free_migrate":
             request_id, = args
             old = self.migrating.pop(request_id, None)
@@ -274,7 +353,11 @@ class NodeWorker:
             return None
         if method == "metrics":
             from .cluster import node_metrics
-            return {"name": self.node.name, **node_metrics(self.node)}
+            row = {"name": self.node.name, **node_metrics(self.node)}
+            shm_pulls = sum(p.shm_pulls for p in self._peer_proxies.values())
+            if shm_pulls:
+                row["migration_shm_pulls"] = shm_pulls
+            return row
         raise ValueError(f"unknown rpc method {method}")
 
     def _shutdown(self) -> None:

@@ -84,6 +84,69 @@ def test_epd_three_processes():
         assert p.finished and len(p.token_ids) == 8
 
 
+def test_same_host_pull_uses_shared_memory():
+    """Same-host cross-process block pulls must ride the POSIX shared-memory
+    data plane (one mmap copy each side), not the pickled-numpy RPC path —
+    and the segment count must reach the worker's metrics row."""
+
+    async def run():
+        cluster = ProcessCluster(ProcessClusterConfig(
+            nodes=[NodeSpec("P", 1), NodeSpec("D", 1)],
+            node=make_node_config(), platform="cpu"))
+        procs = [LogOutputTokenProcessor() for _ in range(3)]
+        try:
+            await cluster.start()
+            for req, proc in zip(text_requests(3), procs):
+                await cluster.add_request(req, RequestProcessParameters(
+                    output_token_processors=[proc]))
+            deadline = time.perf_counter() + 120
+            while not all(p.finished for p in procs):
+                assert time.perf_counter() < deadline, "timed out"
+                await asyncio.sleep(0.1)
+            metrics = await cluster.metrics_async()
+        finally:
+            await cluster.stop()
+        return procs, metrics
+
+    procs, metrics = asyncio.run(run())
+    assert all(p.finished and len(p.token_ids) == 8 for p in procs)
+    d_row = next(v for k, v in metrics.items() if k.startswith("DNode"))
+    # one KV pull per migrated request, all over shm (same host)
+    assert d_row["migration_pulls"] == 3
+    assert d_row["migration_shm_pulls"] == 3
+
+
+def test_cross_host_pull_falls_back_to_rpc(monkeypatch):
+    """With the shm plane unavailable (cross-host, or disabled), pulls fall
+    back to the pickled-numpy RPC path and serving still completes."""
+    monkeypatch.setenv("HYDRAINFER_DISABLE_SHM_PULL", "1")
+
+    async def run():
+        cluster = ProcessCluster(ProcessClusterConfig(
+            nodes=[NodeSpec("P", 1), NodeSpec("D", 1)],
+            node=make_node_config(), platform="cpu"))
+        procs = [LogOutputTokenProcessor() for _ in range(2)]
+        try:
+            await cluster.start()
+            for req, proc in zip(text_requests(2), procs):
+                await cluster.add_request(req, RequestProcessParameters(
+                    output_token_processors=[proc]))
+            deadline = time.perf_counter() + 120
+            while not all(p.finished for p in procs):
+                assert time.perf_counter() < deadline, "timed out"
+                await asyncio.sleep(0.1)
+            metrics = await cluster.metrics_async()
+        finally:
+            await cluster.stop()
+        return procs, metrics
+
+    procs, metrics = asyncio.run(run())
+    assert all(p.finished and len(p.token_ids) == 8 for p in procs)
+    d_row = next(v for k, v in metrics.items() if k.startswith("DNode"))
+    assert d_row["migration_pulls"] == 2
+    assert "migration_shm_pulls" not in d_row
+
+
 def test_process_cluster_matches_inprocess_tokens():
     """The same fake-model request through a process-boundary node and an
     in-process node must produce the identical token stream. One request:
