@@ -20,6 +20,11 @@ quant, kv_int8, kv_blocks, kv_ref, multi_step, pallas_qmm. NOTE: pallas_qmm
 is baked at engine WARMUP (trace time) — list such variants so the flag is
 set before their first generate().
 """
+import os
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      "/tmp/hydrainfer_jax_cache")
+
 import argparse
 import json
 import statistics

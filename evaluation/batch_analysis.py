@@ -12,6 +12,11 @@ measured-vs-roofline gap per batch size.
 Usage (chip):  python -m evaluation.batch_analysis --batches 1 8 32 64
         (CPU): python -m evaluation.batch_analysis --tiny --platform cpu
 """
+import os
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      "/tmp/hydrainfer_jax_cache")
+
 import argparse
 import json
 import time

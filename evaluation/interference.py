@@ -16,6 +16,11 @@ Usage (chip):   python -m evaluation.interference --arch qwen2-vl-2b-lm
 
 Emits JSON to --out and a markdown table to stdout.
 """
+import os
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      "/tmp/hydrainfer_jax_cache")
+
 import argparse
 import json
 import time
@@ -40,6 +45,11 @@ def _engine(factory, n_kv_blocks, n_image_blocks, image_block_size,
         # per-token reads: interference shows up in raw token gaps
         postprocess_batch_steps=1, adaptive_postprocess=False,
         async_pipeline_depth=2)
+    # pre-ratchet the S/MB jit-key floors at boot: without this the warm
+    # run's prefill compiles at the un-ratcheted floors, decode growth then
+    # ratchets them, and the MEASURED run's first prefill re-keys (MB 8→16)
+    # — a one-time ~8s mid-measurement compile that looked like a stall
+    cfg.boot_warmup = True
     cfg.model.dtype = "bf16"
     return OfflineEngine(cfg, model_factory=factory, node_type=node_type)
 
@@ -47,11 +57,16 @@ def _engine(factory, n_kv_blocks, n_image_blocks, image_block_size,
 def _requests(n, prompt_len, max_tokens, image_every=0, image_size=336,
               tag="r"):
     import string
+    import zlib
 
     from PIL import Image
 
     from hydrainfer_tpu.request import Request, SamplingParameters
-    rng = np.random.default_rng(0)
+    # distinct prompts per tag: a shared seed would make the measured
+    # requests EXACT prefix-cache hits of the warmup's, so the measured
+    # round would prefill a shorter (never-warmed) token-count bucket and
+    # pay its compile mid-measurement (~7.5s on the chip — observed)
+    rng = np.random.default_rng(zlib.crc32(tag.encode()))
     reqs = []
     for i in range(n):
         prompt = "".join(rng.choice(list(string.ascii_lowercase + " "),

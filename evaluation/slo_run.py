@@ -7,6 +7,11 @@ performance_analyzer).
 Usage (chip):  python -m evaluation.slo_run --rates 2 4 8 16 --out result/slo
         (CPU): python -m evaluation.slo_run --tiny --platform cpu
 """
+import os
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      "/tmp/hydrainfer_jax_cache")
+
 import argparse
 import asyncio
 import dataclasses
@@ -38,6 +43,9 @@ async def amain(args):
         image_block_size=(factory.clip_cfg.n_patches
                           if args.image_ratio > 0 else -1))
     node.model.dtype = "bf16"
+    # converge the jit-key floors at boot so the measured sweeps never
+    # re-key the prefill/decode programs mid-run (see interference.py)
+    node.boot_warmup = True
     cfg = ClusterConfig(nodes=[NodeSpec("EPD" if args.image_ratio > 0
                                         else "PD", 1)], node=node)
     cluster = Cluster(cfg, model_factory=factory)
@@ -55,9 +63,14 @@ async def amain(args):
         prompt_len_range=(args.min_prompt_len, args.max_prompt_len),
         output_len_range=(args.min_output_len, args.max_output_len), seed=0)
     try:
-        # warmup: compile the serving buckets before any timed request
-        await run_benchmark(base, entries[: min(8, len(entries))], 1e9,
-                            "uniform")
+        # warmup: compile the serving buckets before any timed request —
+        # the FULL entry set, twice over: the first pass compiles every
+        # prompt-length bucket, the second compiles the shorter prefill
+        # buckets that prefix-cache hits of already-seen prompts produce
+        # (the measured sweeps re-submit these same entries, so their
+        # prefill shapes are the second pass's, not the first's)
+        await run_benchmark(base, entries, 1e9, "uniform")
+        await run_benchmark(base, entries, 1e9, "uniform")
         rows = []
         for rate in args.rates:
             result = await run_benchmark(base, entries, rate, "poisson")

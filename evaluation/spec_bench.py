@@ -6,6 +6,11 @@ PERF_NOTES). Reports tokens/s and per-request wall time.
 Usage (chip):  python -m evaluation.spec_bench --arch qwen2-vl-2b-lm
         (CPU): python -m evaluation.spec_bench --tiny --platform cpu
 """
+import os
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      "/tmp/hydrainfer_jax_cache")
+
 import argparse
 import json
 import time
