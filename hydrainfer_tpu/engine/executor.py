@@ -118,6 +118,11 @@ class FillExecutor:
         # emitted by them / single-step-equivalent steps saved
         self.spec_steps = 0
         self.spec_tokens = 0
+        # jit-key observability: every (dims, n_steps) this executor has
+        # dispatched. A key appearing here mid-serving means a fresh XLA
+        # compile (~10-25s stall on the tunnel) — the log line below is the
+        # first thing to grep when a serving run shows a one-time stall.
+        self._seen_fill_keys = set()
 
     def preratchet(self, s_floor: int, mb_floor: int,
                    ti_floor: int = 0) -> None:
@@ -455,6 +460,11 @@ class FillExecutor:
         self._s_highwater = max(self._s_highwater, plan.dims.S)
         self._mb_highwater = max(self._mb_highwater, plan.dims.MB)
         self._ti_highwater = max(self._ti_highwater, plan.dims.Ti)
+        key = (plan.dims, n_steps)
+        if key not in self._seen_fill_keys:
+            self._seen_fill_keys.add(key)
+            logger.info(f"new fill jit key #{len(self._seen_fill_keys)}: "
+                        f"{plan.dims} n_steps={n_steps}")
 
         fused_k = None
         if n_steps > 1:
