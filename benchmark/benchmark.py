@@ -40,7 +40,21 @@ async def run_benchmark(base_url: str, entries, request_rate: float,
                 session, base_url, entry, request_id=f"r{i}",
                 ignore_eos=ignore_eos)))
             await asyncio.sleep(intervals[i])
-        result.outputs = list(await asyncio.gather(*tasks))
+
+        async def watchdog():
+            # stall diagnostics: a wedged run names its pending requests
+            while True:
+                await asyncio.sleep(60)
+                pending = [f"r{i}" for i, t in enumerate(tasks) if not t.done()]
+                if pending:
+                    print(f"# run_benchmark waiting on {len(pending)} "
+                          f"request(s): {pending[:8]}", flush=True)
+
+        dog = asyncio.create_task(watchdog())
+        try:
+            result.outputs = list(await asyncio.gather(*tasks))
+        finally:
+            dog.cancel()
         result.end_time = time.perf_counter()
     return result
 

@@ -13,7 +13,9 @@ straight into the request's AsyncStream via a callback processor — the ZMQ
 hop only exists for multi-process deployments (zmq_pull_addr).
 """
 import asyncio
+import contextlib
 import json
+import time
 import uuid
 from dataclasses import dataclass, field
 from typing import Dict, Optional
@@ -85,6 +87,8 @@ class APIServer:
             web.get("/metrics", self.metrics),
             web.post("/v1/chat/completions", self.create_chat_completion),
             web.post("/v1/completions", self.create_completion),
+            web.get("/debug/streams", self.debug_streams),
+            web.get("/debug/tasks", self.debug_tasks),
         ])
         self._zmq_task = None
 
@@ -104,10 +108,41 @@ class APIServer:
             stream = self.streams.get(request_id)
             if stream is None:
                 return
+            stream.pushed = getattr(stream, "pushed", 0) + 1
+            stream.last_push = time.time()
+            stream.saw_last = is_last
             stream.put_threadsafe(loop, text)
             if is_last:
                 stream.put_threadsafe(loop, None)
         return cb
+
+    async def debug_streams(self, _request) -> web.Response:
+        """Stall forensics: every stream still open, with how many tokens the
+        engine has pushed into it, whether its final token arrived, and the
+        age of the last push — distinguishes 'engine never finished the
+        request' from 'engine finished but the response writer never woke'."""
+        now = time.time()
+        rows = {
+            rid: {"pushed": getattr(s, "pushed", 0),
+                  "saw_last": getattr(s, "saw_last", False),
+                  "since_last_push_s": (round(now - s.last_push, 1)
+                                        if hasattr(s, "last_push") else None),
+                  "queued": s._queue.qsize()}
+            for rid, s in self.streams.items()}
+        return web.json_response(rows)
+
+    async def debug_tasks(self, _request) -> web.Response:
+        """Stall forensics, part 2: where every asyncio task in this process
+        is suspended (in-process clients included)."""
+        rows = []
+        for t in asyncio.all_tasks():
+            frames = t.get_stack(limit=8)
+            rows.append({
+                "name": t.get_name(),
+                "stack": [f"{fr.f_code.co_filename.rsplit('/', 1)[-1]}:"
+                          f"{fr.f_lineno} {fr.f_code.co_name}"
+                          for fr in frames]})
+        return web.json_response(rows)
 
     async def _zmq_recv_loop(self) -> None:
         """Multi-process delivery: (request_id, text|None) tuples over ZMQ
@@ -222,24 +257,46 @@ class APIServer:
                 "Content-Type": "text/event-stream",
                 "Cache-Control": "no-cache"})
             await resp.prepare(request)
-            first = True
-            async for text in stream:
-                delta = DeltaMessage(content=text)
-                if first:
-                    delta.role = "assistant"
-                    first = False
-                chunk = ChatCompletionChunk(
+            # Once the stream has started, the error middleware CANNOT help:
+            # a raised exception would make it return a fresh response on a
+            # connection mid-SSE, leaving the client waiting forever (this
+            # exact mode wedged the SLO sweep: lone-surrogate deltas raised
+            # UnicodeEncodeError inside .encode()). Encode with
+            # errors="replace" so no delta can raise, and guarantee the
+            # stream entry is reaped and the response closed on ANY exit.
+            try:
+                first = True
+                async for text in stream:
+                    # defense in depth: the decoder sanitizes already, but a
+                    # lone surrogate here would raise inside pydantic's JSON
+                    # serializer before the encode below even runs
+                    text = text.encode("utf-8", "replace").decode("utf-8")
+                    delta = DeltaMessage(content=text)
+                    if first:
+                        delta.role = "assistant"
+                        first = False
+                    chunk = ChatCompletionChunk(
+                        id=request_id, model=self.config.model_name,
+                        choices=[ChatCompletionChunkChoice(delta=delta)])
+                    await resp.write(
+                        f"data: {chunk.model_dump_json()}\n\n"
+                        .encode("utf-8", errors="replace"))
+                final = ChatCompletionChunk(
                     id=request_id, model=self.config.model_name,
-                    choices=[ChatCompletionChunkChoice(delta=delta)])
-                await resp.write(f"data: {chunk.model_dump_json()}\n\n".encode())
-            final = ChatCompletionChunk(
-                id=request_id, model=self.config.model_name,
-                choices=[ChatCompletionChunkChoice(
-                    delta=DeltaMessage(), finish_reason="stop")])
-            await resp.write(f"data: {final.model_dump_json()}\n\n".encode())
-            await resp.write(b"data: [DONE]\n\n")
-            await resp.write_eof()
-            self.streams.pop(request_id, None)
+                    choices=[ChatCompletionChunkChoice(
+                        delta=DeltaMessage(), finish_reason="stop")])
+                await resp.write(f"data: {final.model_dump_json()}\n\n"
+                                 .encode("utf-8", errors="replace"))
+                await resp.write(b"data: [DONE]\n\n")
+                await resp.write_eof()
+            except ConnectionResetError:
+                pass                      # client went away mid-stream
+            except Exception:
+                logger.exception(f"{request_id} stream aborted")
+                with contextlib.suppress(Exception):
+                    await resp.write_eof()    # close so the client unblocks
+            finally:
+                self.streams.pop(request_id, None)
             return resp
 
         parts = [text async for text in stream]

@@ -40,9 +40,21 @@ class IncrementalDecoder:
         if new_text.endswith("�"):
             # incomplete multi-byte character: wait for the next token
             return ""
+        if new_text and 0xD800 <= ord(new_text[-1]) <= 0xDBFF:
+            # trailing high surrogate: byte-level BPE may complete it into a
+            # real character once the next token's bytes arrive — hold back
+            # like an incomplete multi-byte sequence
+            return ""
         delta = new_text[len(prefix_text):]
         self.prefix_offset = self.read_offset
         self.read_offset = len(self.ids)
+        try:
+            delta.encode("utf-8")
+        except UnicodeEncodeError:
+            # lone surrogates (some tokenizers emit them for exotic ids)
+            # would crash every downstream utf-8 encode — the SSE writer,
+            # json.dump, ZMQ pickling of web payloads. Never let one out.
+            delta = delta.encode("utf-8", errors="replace").decode("utf-8")
         return delta
 
 
