@@ -44,8 +44,11 @@ async def amain(args):
                           if args.image_ratio > 0 else -1))
     node.model.dtype = "bf16"
     # converge the jit-key floors at boot so the measured sweeps never
-    # re-key the prefill/decode programs mid-run (see interference.py)
+    # re-key the prefill/decode programs mid-run (see interference.py) —
+    # including the full prefill T-ladder: Poisson mixes otherwise keep
+    # minting fresh T buckets mid-sweep (10-19s TTFT tail spikes)
     node.boot_warmup = True
+    node.boot_warmup_prefill_ladder = not args.tiny   # ladder: ~9 compiles
     cfg = ClusterConfig(nodes=[NodeSpec("EPD" if args.image_ratio > 0
                                         else "PD", 1)], node=node)
     cluster = Cluster(cfg, model_factory=factory)

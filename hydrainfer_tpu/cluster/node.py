@@ -118,6 +118,13 @@ class NodeConfig:
     # tunneled TPU).
     boot_warmup: Optional[bool] = None
     boot_warmup_max_context: int = 8192
+    # also pre-compile one prefill program per token bucket up to the token
+    # budget (see profiler.warm_prefill_ladder) — with max_q collapsed to T
+    # this closes the whole greedy prefill key space at boot, so online
+    # serving under arbitrary arrival mixes never compiles mid-run. Costs
+    # ~log2(budget) extra boot compiles; off by default (offline/bench runs
+    # warm their own exact shapes).
+    boot_warmup_prefill_ladder: bool = False
     # speculate only when the resident batch is at most this large: the
     # verify step is synchronous (drains the async pipeline), so it trades
     # throughput for latency — a trade that only wins when latency-bound
@@ -286,6 +293,8 @@ class AsyncEPDNode:
                 profiler.warm_decode(
                     self.config.batch_scheduler.max_running_requests,
                     max(self.config.multi_step_decode, 1))
+                if self.config.boot_warmup_prefill_ladder:
+                    profiler.warm_prefill_ladder(token_budget)
             except Exception:
                 logger.exception("decode warmup failed; serving will "
                                  "compile on first requests instead")

@@ -151,8 +151,9 @@ class LanguageModelBatchBuilder:
             (rcb.sampling_params is not None
              and rcb.sampling_params.temperature > 0)
             for rcb in self.seq_rcbs)
+        T = bucket_of(self._n_tokens, TOKEN_BUCKETS)
         dims = FillDims(
-            T=bucket_of(self._n_tokens, TOKEN_BUCKETS),
+            T=T,
             S=max(bucket_of(n_seqs, SEQ_BUCKETS), _next_pow2(s_floor)),
             MB=max(_next_pow2(self._max_blocks), _next_pow2(mb_floor)),
             # ti_floor: high-water floor for image-bearing batches only —
@@ -160,7 +161,15 @@ class LanguageModelBatchBuilder:
             Ti=(max(bucket_of(len(self.image_slot_ids), TOKEN_BUCKETS),
                     bucket_of(ti_floor, TOKEN_BUCKETS) if ti_floor else 0)
                 if self.image_slot_ids else 0),
-            max_q=_next_pow2(self._max_q),
+            # Prefill-carrying batches collapse max_q to T: (T, max_q) is a
+            # 2D jit-key space that Poisson arrival mixes walk combinatorially
+            # (observed: fresh keys — seconds of tracing each — 20 minutes
+            # into an SLO sweep). max_q=T is always a valid upper bound, the
+            # TPU-default ragged kernel never reads max_q, and the jnp oracle
+            # already pads q to (S, max_q) — the only cost is oracle prefill
+            # steps padding to T instead of the longest chunk. Decode-only
+            # batches keep max_q=1 (their own fast program).
+            max_q=T if self._max_q > 1 else 1,
             sampling=sampling,
             mrope=self._mrope)
         if hostops is not None and self._contiguous:

@@ -194,6 +194,42 @@ class BatchSchedulerProfiler:
                 self.kv.free(rcb.virtual_kv_cache)
         logger.info(f"decode warmup done (S={n_seqs}, K={k_fused})")
 
+    def warm_prefill_ladder(self, token_budget: int) -> None:
+        """Pre-compile every prefill-batch program serving can hit.
+
+        With max_q collapsed to T (params_builder.build), a mixed
+        prefill+decode batch keys only on its T bucket once the S/MB floors
+        are pre-ratcheted — so ONE synthetic prefill per token bucket up to
+        the budget covers the whole greedy-sampling key space. Without this,
+        Poisson arrival mixes keep minting fresh T buckets mid-serving
+        (measured: 10-19s TTFT/TBT tail spikes 20 minutes into an SLO sweep,
+        each a trace+compile). Stochastic-sampling programs (temperature>0)
+        are a second family and still compile on first use."""
+        if self.executor is None or self.kv is None:
+            return
+        from .params_builder import TOKEN_BUCKETS, bucket_of
+        top = bucket_of(max(2, token_budget), TOKEN_BUCKETS)
+        for T in [b for b in TOKEN_BUCKETS if b <= top]:
+            rcb = RequestControlBlock()
+            rcb.sampling_params = SamplingParameters(max_tokens=1,
+                                                     ignore_eos=True)
+            b = InstructionListBuilder()
+            b.append(TextFill(
+                token_ids=list(np.random.randint(10, 100, size=T)),
+                position_ids=list(range(T)), cache_ids=list(range(T)),
+                sample=True, sample_dst=None, hashes=None))
+            rcb.instructions = b.build()
+            rcb.virtual_kv_cache = self.kv.allocate_virtual_cache()
+            try:
+                self.kv.realloc(rcb.virtual_kv_cache, T)
+                self.executor.execute_fill(BatchRequest([rcb])).get()
+            finally:
+                fx = getattr(self.executor, "fill_executor", None)
+                if fx is not None:
+                    fx.release_slot(rcb)
+                self.kv.free(rcb.virtual_kv_cache)
+        logger.info(f"prefill ladder warmup done (T<= {top})")
+
     def profile_token_budgets(self) -> int:
         if not self.config.enabled or self.executor is None or self.kv is None:
             return self.config.default_token_budget
