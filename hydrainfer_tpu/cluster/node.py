@@ -346,14 +346,21 @@ class AsyncEPDNode:
                     and not (self.mesh is not None
                              and self.context.parallel == "pp"))
         # MLA latent caches hold ONE plane per token (kv_single_plane);
-        # everything else interleaves K/V on the head axis (2x)
-        kv_heads = (lc.n_kv_heads if getattr(lc, "kv_single_plane", False)
-                    else 2 * lc.n_kv_heads)
+        # everything else interleaves K/V on the head axis (2x). The latent
+        # dim pads up to a 128 lane multiple (DeepSeek: 576 → 640, ~11% of
+        # the latent plane) so the Pallas latent kernel can DMA pages —
+        # Mosaic cannot slice a lane axis that is not 128-aligned; the
+        # model pads q and [c_kv|k_pe] with zeros to the cache dim, which
+        # leaves attention scores bit-identical (models/decoder.py).
+        single_plane = getattr(lc, "kv_single_plane", False)
+        kv_heads = lc.n_kv_heads if single_plane else 2 * lc.n_kv_heads
+        cache_head_dim = (-(-lc.head_dim // 128) * 128 if single_plane
+                          else lc.head_dim)
         kv_cfg = TokenCacheBlockManagerConfig(
             n_layers=lc.n_layers, n_tensors=1,
             n_blocks=max(self.config.n_kv_blocks, 1),
             block_size=self.config.kv_block_size,
-            n_heads=kv_heads, head_dim=lc.head_dim,
+            n_heads=kv_heads, head_dim=cache_head_dim,
             dtype=kv_dtype,
             per_layer=unrolled,
             # jax.Ref in-place cache: avoids scan-carry copies (~3ms/GB per

@@ -282,6 +282,17 @@ def _mla_layer(x, cache, layer_id, lw, batch: LanguageModelBatch,
     q_full = jnp.concatenate([q_lat, q_pe], axis=-1)   # (T, H, r+dr)
 
     kv_vec = jnp.concatenate([c_kv[:, None, :], k_pe], axis=-1)  # (T,1,r+dr)
+    # the cache may carry the latent dim PADDED to a 128 lane multiple (the
+    # Pallas latent kernel's DMA alignment; cluster/node.py sizes it) — pad
+    # q and the cached vector with zeros, which adds exactly 0 to every
+    # q·k score and leaves the output's first r dims (the ones w_uv reads)
+    # untouched
+    cache_dim = (cache[0].shape[-1] if isinstance(cache, (list, tuple))
+                 else cache.shape[-1])
+    if cache_dim > r + dr:
+        pad = ((0, 0), (0, 0), (0, cache_dim - (r + dr)))
+        q_full = jnp.pad(q_full, pad)
+        kv_vec = jnp.pad(kv_vec, pad)
     if cfg.kv_scale is not None:
         # int8 latent cache: ONE plane (v:=k reads the same vector), so one
         # static symmetric scale quantizes the whole [c_kv|k_pe] vector;

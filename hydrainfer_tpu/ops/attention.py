@@ -259,10 +259,32 @@ def paged_attention(q: jax.Array, cache: jax.Array, layer_id,
                     kv_scale: Optional[float] = None,
                     pages_per_block: Optional[int] = None) -> jax.Array:
     """Handler-chain entry point. See module docstring for impl choices."""
+    global _FALLBACK_LOGGED
     if cache.shape[-2] == 1:
-        # single-plane latent cache (MLA): the interleaved-K/V kernels
-        # cannot read it — go straight to the oracle (a Pallas latent
-        # kernel is the designated follow-up)
+        # single-plane latent cache (MLA): the upstream interleaved-K/V
+        # ragged kernel cannot read it, but the builder layered kernel can
+        # (ckv=1, the v:=k plane is both K and V) — and unlike the dense
+        # oracle its HBM traffic is O(tokens attended) instead of
+        # O(S * MB * block_size) gathered pages. Requires a stacked value
+        # cache (layer_loop="scan", kv_cache_ref=False), like every layered
+        # call; otherwise the oracle serves.
+        if impl in ("auto", "layered") and not isinstance(cache, jax.Ref):
+            try:
+                if impl == "auto" and jax.default_backend() != "tpu":
+                    raise ImportError("latent kernel auto-path is TPU-only")
+                return paged_attention_layered(
+                    q, cache, layer_id, params, sm_scale,
+                    k_scale=kv_scale, v_scale=kv_scale,
+                    interpret=jax.default_backend() != "tpu")
+            except Exception as e:
+                if impl == "layered":
+                    raise
+                if not _FALLBACK_LOGGED:
+                    _FALLBACK_LOGGED = True
+                    import logging
+                    logging.getLogger(__name__).warning(
+                        "latent paged-attention kernel unavailable, using "
+                        "dense jnp fallback (first occurrence only): %s", e)
         return paged_attention_jnp(q, cache, layer_id, params, sm_scale,
                                    max_q, kv_scale=kv_scale)
     if impl == "layered":
@@ -280,7 +302,6 @@ def paged_attention(q: jax.Array, cache: jax.Array, layer_id,
         except Exception as e:
             if impl in ("ragged", "pallas"):
                 raise
-            global _FALLBACK_LOGGED
             if not _FALLBACK_LOGGED:
                 _FALLBACK_LOGGED = True
                 import logging

@@ -47,18 +47,25 @@ def _packing(dtype) -> int:
 
 
 class _PageCopies:
-    """Async copies of one kv block's pages: cache[layer, 0, page] → buf."""
+    """Async copies of one kv block's pages: cache[layer, 0, page] → buf.
+
+    The MLA latent cache arrives SQUEEZED to (L, NB, BS, D) — slicing its
+    size-1 plane axis would violate Mosaic's sublane tiling (bf16 tiles the
+    second-minor axis by 2, and a 1-wide slice of a tiled axis cannot
+    lower) — so the 4-D form slices (BS, D) pages directly."""
 
     def __init__(self, cache_ref, buf, sem, page_indices_ref, layer,
                  seq_idx, start_page, end_page):
         self._buf = buf
         self._copies = []
+        latent = len(cache_ref.shape) == 4
         for i in range(buf.shape[0]):
             page_idx = start_page + i
             page_idx = lax.select(page_idx < end_page, page_idx, 0)
             page = page_indices_ref[seq_idx, page_idx]
-            self._copies.append(pltpu.make_async_copy(
-                cache_ref.at[layer, 0, page], buf.at[i], sem))
+            src = (cache_ref.at[layer, page] if latent
+                   else cache_ref.at[layer, 0, page])
+            self._copies.append(pltpu.make_async_copy(src, buf.at[i], sem))
 
     def start(self):
         for c in self._copies:
@@ -74,11 +81,19 @@ def _split_kv(kv_flat, ckv: int, plain_loads: bool):
     """(N*CKV, D) combined-head rows → ([K_h], [V_h]) per kv head, each
     (N, D). Strided slices with static start/stride.
 
+    ckv == 1 is the MLA single-plane latent cache: every row is the
+    [c_kv | k_pe] vector, which serves as BOTH K and V (the v:=k trick —
+    models/decoder.py:_mla_layer slices the output's first kv_lora dims) —
+    no striding, no extraction.
+
     On real TPU hardware Mosaic cannot lower arbitrary strided loads for
     sub-32-bit types, so packed dtypes go through a uint32 bitcast and
     shift/mask extraction (bf16: shift halves; int8: byte lanes). In
     interpret mode (CPU tests) plain strided slicing is exact for every
     dtype."""
+    if ckv == 1:
+        lat = kv_flat[...]      # load the whole plane once; K and V share it
+        return [lat], [lat]
     n_kv_heads = ckv // 2
     if plain_loads or _packing(kv_flat.dtype) == 1:
         ks = [kv_flat[2 * h::ckv, :] for h in range(n_kv_heads)]
@@ -137,8 +152,12 @@ def _paged_attention_kernel(
     plain_loads: bool,
 ):
     nq, n_q_heads, head_dim = q_ref.shape
-    _, pp, page_size, ckv, _ = kv_bufs.shape
-    n_kv_heads = ckv // 2
+    if len(kv_bufs.shape) == 4:      # MLA latent: (2, PP, BS, D), plane axis
+        _, pp, page_size = kv_bufs.shape[:3]   # squeezed away (see _PageCopies)
+        ckv = 1
+    else:
+        _, pp, page_size, ckv, _ = kv_bufs.shape
+    n_kv_heads = max(ckv // 2, 1)   # ckv==1: MLA single-plane (MQA, v:=k)
     ratio = n_q_heads // n_kv_heads
     kv_per_blk = pp * page_size
     pages_per_seq = page_indices_ref.shape[1]
@@ -325,11 +344,20 @@ def layered_paged_attention(
     """
     n_tokens, n_q_heads, head_dim = q.shape
     n_layers, n_tensors, nb, page_size, ckv, hd = cache.shape
-    assert n_tensors == 1 and hd == head_dim and ckv % 2 == 0
-    n_kv_heads = ckv // 2
+    # ckv even: interleaved K/V combined heads. ckv == 1: the MLA
+    # single-plane latent cache (one [c_kv|k_pe] vector per token serving
+    # as both K and V)
+    assert n_tensors == 1 and hd == head_dim and (ckv % 2 == 0 or ckv == 1)
+    n_kv_heads = max(ckv // 2, 1)
     assert n_q_heads % n_kv_heads == 0
     s, pages_per_seq = page_indices.shape
     assert kv_lens.shape == (s,) and cu_q_lens.shape == (s + 1,)
+
+    if ckv == 1:
+        # MLA latent: squeeze the tensor + plane axes so the page DMA never
+        # slices a size-1 tiled axis (Mosaic sublane tiling, see _PageCopies)
+        assert not return_cache, "latent path does not alias the cache"
+        cache = cache.reshape(n_layers, nb, page_size, hd)
 
     pp, nq = _default_block_sizes(page_size, pages_per_seq, n_tokens)
     if num_kv_pages_per_block is not None:
@@ -362,7 +390,8 @@ def layered_paged_attention(
         ],
         out_specs=out_specs,
         scratch_shapes=[
-            pltpu.VMEM((2, pp, page_size, ckv, head_dim), cache.dtype),
+            pltpu.VMEM((2, pp, page_size, head_dim) if ckv == 1
+                       else (2, pp, page_size, ckv, head_dim), cache.dtype),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.VMEM((n_kv_heads, nq * ratio, 128), jnp.float32),
             pltpu.VMEM((n_kv_heads, nq * ratio, 128), jnp.float32),
