@@ -34,20 +34,40 @@ def _key_iter(key, n):
 
 def init_decoder_weights(cfg: DecoderConfig, key: jax.Array,
                          dtype=jnp.bfloat16) -> dict:
-    keys = _key_iter(key, cfg.n_layers * 4 + 4)
+    keys = _key_iter(key, cfg.n_layers * 8 + 4)
     H = cfg.hidden_size
     qkv_out = (cfg.n_qo_heads + 2 * cfg.n_kv_heads) * cfg.head_dim
     w = {"embed": _init(next(keys), (cfg.vocab_size, H), dtype), "layers": []}
     for _ in range(cfg.n_layers):
-        w["layers"].append({
-            "qkv_proj": _init(next(keys), (H, qkv_out), dtype),
-            "qkv_bias": (jnp.zeros((qkv_out,), dtype) if cfg.qkv_bias else None),
-            "o_proj": _init(next(keys), (cfg.n_qo_heads * cfg.head_dim, H), dtype),
+        if cfg.mla_kv_lora > 0:
+            # MLA (DeepSeek latent) attention block — plain-q form, dense
+            # MLP; same layer-dict contract as models/deepseek_v3.py packs
+            r, dr = cfg.mla_kv_lora, cfg.mla_rope_dim
+            dn, dv = cfg.mla_nope_dim, cfg.mla_v_dim
+            Hq = cfg.n_qo_heads
+            lw = {
+                "q_proj": _init(next(keys), (H, Hq * (dn + dr)), dtype),
+                "kv_a": _init(next(keys), (H, r + dr), dtype),
+                "kv_a_norm": jnp.ones((r,), dtype),
+                "w_uk": _init(next(keys), (r, Hq, dn), dtype),
+                "w_uv": _init(next(keys), (r, Hq, dv), dtype),
+                "o_proj": _init(next(keys), (Hq * dv, H), dtype),
+            }
+        else:
+            lw = {
+                "qkv_proj": _init(next(keys), (H, qkv_out), dtype),
+                "qkv_bias": (jnp.zeros((qkv_out,), dtype)
+                             if cfg.qkv_bias else None),
+                "o_proj": _init(next(keys),
+                                (cfg.n_qo_heads * cfg.head_dim, H), dtype),
+            }
+        lw.update({
             "gate_up": _init(next(keys), (H, 2 * cfg.intermediate_size), dtype),
             "down": _init(next(keys), (cfg.intermediate_size, H), dtype),
             "input_norm": jnp.ones((H,), dtype),
             "post_norm": jnp.ones((H,), dtype),
         })
+        w["layers"].append(lw)
     w["norm"] = jnp.ones((H,), dtype)
     w["lm_head"] = _init(next(keys), (H, cfg.vocab_size), dtype)
     return w
@@ -106,6 +126,21 @@ ARCH_CONFIGS = {
         n_layers=2, hidden_size=128, intermediate_size=256,
         n_qo_heads=4, n_kv_heads=2, head_dim=32, vocab_size=1024,
         max_position_embeddings=2048),
+    # DeepSeek-V2-Lite-shaped MLA decoder (dense MLP stand-in for the MoE
+    # body — attention/cache perf characteristics are what the MLA bench
+    # measures): latent dim 512+64=576, absorbed MQA over the single-plane
+    # cache. head_dim == kv_lora + rope_dim per the MLA cache contract.
+    "mla-2b-lm": DecoderConfig(
+        n_layers=27, hidden_size=2048, intermediate_size=5472,
+        n_qo_heads=16, n_kv_heads=1, head_dim=576, vocab_size=32064,
+        max_position_embeddings=4096, rope_head_dim=64,
+        mla_kv_lora=512, mla_rope_dim=64, mla_nope_dim=128, mla_v_dim=128),
+    # CPU-runnable MLA smoke size
+    "mla-tiny-lm": DecoderConfig(
+        n_layers=2, hidden_size=64, intermediate_size=128,
+        n_qo_heads=4, n_kv_heads=1, head_dim=24, vocab_size=512,
+        max_position_embeddings=1024, rope_head_dim=8,
+        mla_kv_lora=16, mla_rope_dim=8, mla_nope_dim=16, mla_v_dim=16),
 }
 
 CLIP_L_336 = CLIPVisionConfig(hidden_size=1024, intermediate_size=4096,
@@ -196,7 +231,8 @@ class RandomWeightFactory(ModelFactory):
         return LanguageModelConfig(
             n_layers=c.n_layers, max_position_embeddings=c.max_position_embeddings,
             n_qo_heads=c.n_qo_heads, n_kv_heads=c.n_kv_heads, head_dim=c.head_dim,
-            eos_token_id=2, hidden_size=c.hidden_size, vocab_size=c.vocab_size)
+            eos_token_id=2, hidden_size=c.hidden_size, vocab_size=c.vocab_size,
+            kv_single_plane=c.mla_kv_lora > 0)
 
     def getProcessor(self):
         return (_RawImageProcessor(self.clip_cfg.image_size)

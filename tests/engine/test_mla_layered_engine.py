@@ -64,3 +64,34 @@ def test_mla_layered_engine_matches_jnp(mla_path):
     got = run_engine(mla_path, "layered")
     assert got == ref
     assert all(len(t) == 8 for t in ref)
+
+
+def test_mla_random_arch_layered_matches_jnp():
+    """Same A/B over the random-init MLA arch (torch-free; also pins the
+    MLA branch of init_decoder_weights and the bench path)."""
+    from hydrainfer_tpu.models.random_init import RandomWeightFactory
+
+    def run(impl):
+        factory = RandomWeightFactory("mla-tiny-lm", layer_loop="scan",
+                                      attention_impl=impl)
+        cfg = NodeConfig(
+            batch_scheduler=BatchSchedulerConfig(max_running_requests=4,
+                                                 priority="prefill"),
+            request_processor=RequestProcessorConfig(
+                num_request_process_workers=1, block_size=4),
+            kv_block_size=4, n_kv_blocks=128, n_image_blocks=1)
+        cfg.model.dtype = "float32"
+        cfg.model.attention_impl = impl
+        engine = OfflineEngine(cfg, model_factory=factory, node_type="PD")
+        engine.node.batch_scheduler.token_budget = 16
+        reqs = [Request(request_id=f"{impl}{i}", prompt=p,
+                        sampling_params=SamplingParameters(max_tokens=8,
+                                                           ignore_eos=True))
+                for i, p in enumerate(["ab cd ef", "x",
+                                       "a longer prompt to chunk twice"])]
+        return [o.output_token_ids for o in engine.generate(reqs,
+                                                            timeout_s=600)]
+
+    ref = run("jnp")
+    assert run("layered") == ref
+    assert all(len(t) == 8 for t in ref)
