@@ -366,9 +366,15 @@ class AsyncEPDNode:
             # jax.Ref in-place cache: avoids scan-carry copies (~3ms/GB per
             # step); sharded (TP) caches stay on the value/donation path, and
             # the layered kernel reads the cache VALUE (pallas can't take a
-            # Ref operand on this jax), so it forces the value path too
+            # Ref operand on this jax), so it forces the value path too.
+            # Single-plane (MLA) caches also default to the value path: the
+            # latent kernel only engages on value arrays, it is a paired
+            # 1.75x over the oracle at engine level (PERF_NOTES round 3),
+            # and the latent pool is ~9x smaller so the Ref's copy savings
+            # are proportionally small
             use_ref=(self.config.kv_cache_ref and self.mesh is None
-                     and self.config.model.attention_impl != "layered"))
+                     and self.config.model.attention_impl != "layered"
+                     and not single_plane))
         img_cfg = TokenCacheBlockManagerConfig(
             n_layers=1, n_tensors=1,
             n_blocks=max(self.config.n_image_blocks, 1),

@@ -296,10 +296,13 @@ def _paged_attention_kernel(
     o_ref[...] = acc_ref[...].astype(q_ref.dtype)
 
 
-def _default_block_sizes(page_size, pages_per_seq, n_tokens):
-    # target ~256 kv tokens per DMA'd block, ~<=64 q rows per grid step
+def _default_block_sizes(page_size, pages_per_seq, n_tokens, ratio=1):
+    # target ~256 kv tokens per DMA'd block, ~<=64 q rows per grid step —
+    # where a q row fans out to `ratio` flash rows (GQA group / MQA heads),
+    # so high-ratio caches (MLA: ratio == n_q_heads) cap nq lower to keep
+    # the (nq*ratio, D) f32 flash intermediates inside scoped VMEM
     pp = max(1, min(pages_per_seq, pl.cdiv(256, page_size)))
-    nq = min(max(n_tokens, 8), 64)
+    nq = min(max(n_tokens, 8), max(8, 256 // max(ratio, 1)), 64)
     return pp, nq
 
 
@@ -359,7 +362,8 @@ def layered_paged_attention(
         assert not return_cache, "latent path does not alias the cache"
         cache = cache.reshape(n_layers, nb, page_size, hd)
 
-    pp, nq = _default_block_sizes(page_size, pages_per_seq, n_tokens)
+    pp, nq = _default_block_sizes(page_size, pages_per_seq, n_tokens,
+                                  ratio=n_q_heads // n_kv_heads)
     if num_kv_pages_per_block is not None:
         pp = num_kv_pages_per_block
     if num_queries_per_block is not None:
