@@ -228,10 +228,27 @@ def paged_attention_tp(q: jax.Array, cache: jax.Array, layer_id,
     tp = mesh.shape.get("tp", 1)
     H = q.shape[1]
     KVH = cache.shape[-2] // 2
+    if cache.shape[-2] == 1 and H % tp == 0 and not isinstance(cache, jax.Ref):
+        # single-plane MLA latent cache under TP: the cache REPLICATES
+        # (kv head 1 cannot split) while q heads shard — and the latent
+        # kernel is embarrassingly parallel over q heads, so each device
+        # runs the handler chain on its head shard against the full
+        # replicated plane (kernel on TPU, oracle in interpret/CPU)
+        def local_latent(q_l, cache_l, layer_l, p_l):
+            return paged_attention(q_l, cache_l, layer_l[0], p_l, sm_scale,
+                                   max_q, impl=impl, kv_scale=kv_scale)
+
+        rep = jax.tree_util.tree_map(lambda _: P(), params)
+        return shard_map(
+            local_latent, mesh=mesh,
+            in_specs=(P(None, "tp", None), P(), P(), rep),
+            out_specs=P(None, "tp", None),
+            check_vma=False,
+        )(q, cache, jnp.asarray(layer_id, jnp.int32).reshape(1), params)
     if cache.shape[-2] % 2 or H % tp or KVH % tp:
-        # indivisible kv heads (or the single-plane MLA latent cache, which
-        # replicates): GSPMD partitions the oracle along the sharded q-head
-        # operands instead of an explicit shard_map
+        # indivisible kv heads (or a Ref-held single-plane cache): GSPMD
+        # partitions the oracle along the sharded q-head operands instead
+        # of an explicit shard_map
         return paged_attention_jnp(q, cache, layer_id, params, sm_scale,
                                    max_q, kv_scale=kv_scale)
 

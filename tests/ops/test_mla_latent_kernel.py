@@ -142,6 +142,28 @@ def test_latent_kernel_int8_scale():
     np.testing.assert_allclose(out, jn, rtol=2e-3, atol=2e-3)
 
 
+def test_latent_tp_shard_map_matches_oracle():
+    """TP over the latent cache: q heads shard over 'tp', the single plane
+    replicates, and each device runs the handler chain on its head shard —
+    the kernel path MLA TP deployments take on chip (interpret per shard
+    here). Must equal the unsharded oracle."""
+    import jax
+    import jax.numpy as jnp
+
+    from hydrainfer_tpu.ops.attention import paged_attention_tp
+    from hydrainfer_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(4)
+    specs = [(1, 9), (3, 7), (1, 13)]
+    q, cache, params, expected = build_latent_case(rng, specs, H=8, D=32)
+    mesh = make_mesh(4, axis_names=("dp", "tp"), shape=(1, 4))
+    out = paged_attention_tp(
+        jnp.asarray(q), jnp.asarray(cache), 0, params,
+        1.0 / float(np.sqrt(32)), max_q=3, mesh=mesh, impl="layered")
+    np.testing.assert_allclose(np.asarray(out), expected,
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_latent_kernel_nonzero_layer():
     rng = np.random.default_rng(3)
     q, cache, params, expected = build_latent_case(rng, [(2, 6), (1, 9)], L=3)
