@@ -37,9 +37,16 @@ def run_bench(arch: str, n_requests: int, prompt_len: int, max_tokens: int,
               token_budget: int, quantization: str = "none",
               kv_int8: bool = False, image_ratio: float = 0.0,
               kv_blocks: int = 0, kv_ref: bool = True,
-              attn_impl: str = "auto", layer_loop: str = "unroll",
+              attn_impl: str = "auto", layer_loop: str = "",
               trace_dir: str = "", pipeline: str = "",
               multi_step: int = 0):
+    from hydrainfer_tpu.models.random_init import ARCH_CONFIGS
+    if not layer_loop:
+        # unroll is the measured default for standard attention; MLA archs
+        # take scan — the latent kernel reads the STACKED cache, and
+        # unrolled per-layer buffers would silently fall back to the oracle
+        layer_loop = ("scan" if ARCH_CONFIGS[arch].mla_kv_lora > 0
+                      else "unroll")
     if attn_impl == "layered":
         layer_loop = "scan"   # the layered kernel wants the stacked value cache
     factory = RandomWeightFactory(arch, quantization=quantization,
@@ -189,8 +196,8 @@ def main():
                     choices=["auto", "ragged", "layered", "jnp"],
                     help="paged-attention handler (layered = builder kernel "
                          "over the full multi-layer cache)")
-    ap.add_argument("--layer-loop", default="unroll",
-                    choices=["scan", "unroll", "unroll_stacked"],
+    ap.add_argument("--layer-loop", default="",
+                    choices=["", "scan", "unroll", "unroll_stacked"],
                     help="scan over stacked weights vs unrolled per-layer "
                          "loop with per-layer cache buffers")
     ap.add_argument("--trace-dir", default="",
