@@ -33,7 +33,11 @@ def _key_iter(key, n):
 
 
 def init_decoder_weights(cfg: DecoderConfig, key: jax.Array,
-                         dtype=jnp.bfloat16) -> dict:
+                         dtype=jnp.bfloat16, quantization: str = "none") -> dict:
+    """quantization != 'none' quantizes each layer's matmul weights AS THEY
+    ARE BUILT, so the full-precision tree never coexists with the quantized
+    one in HBM (a 7B bf16 tree + its int8 copy OOMs a 16GB chip)."""
+    from ..ops.quant import quantize_tree
     keys = _key_iter(key, cfg.n_layers * 8 + 4)
     H = cfg.hidden_size
     qkv_out = (cfg.n_qo_heads + 2 * cfg.n_kv_heads) * cfg.head_dim
@@ -67,9 +71,13 @@ def init_decoder_weights(cfg: DecoderConfig, key: jax.Array,
             "input_norm": jnp.ones((H,), dtype),
             "post_norm": jnp.ones((H,), dtype),
         })
+        if quantization not in (None, "none", ""):
+            lw = quantize_tree({"layers": [lw]}, quantization)["layers"][0]
         w["layers"].append(lw)
     w["norm"] = jnp.ones((H,), dtype)
     w["lm_head"] = _init(next(keys), (H, cfg.vocab_size), dtype)
+    if quantization not in (None, "none", ""):
+        w = quantize_tree(w, quantization)
     return w
 
 
@@ -203,7 +211,9 @@ class RandomWeightFactory(ModelFactory):
     def getLanguageModel(self):
         if self._lm is None:
             from .llama import LlamaForCausalLM
-            w = init_decoder_weights(self.cfg, jax.random.PRNGKey(0), self.dtype)
+            w = init_decoder_weights(self.cfg, jax.random.PRNGKey(0),
+                                     self.dtype,
+                                     quantization=self.quantization)
             self._lm = LlamaForCausalLM(w, self.cfg, self.quantization,
                                         kv_scale=self.kv_scale)
         return self._lm

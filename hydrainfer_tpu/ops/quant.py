@@ -151,7 +151,11 @@ def quantize_tree(weights, mode: str, keys=("qkv_proj", "o_proj", "gate_up",
              "fp8": quantize_fp8}[mode]
 
     def convert(d):
-        return {k: (quant(v) if k in keys and v is not None else v)
+        # idempotent: leaves already quantized (e.g. per-layer during
+        # random init, to avoid holding the full bf16 AND quantized trees
+        # in HBM at once — a 7B model OOMs a 16GB chip otherwise) pass through
+        return {k: (quant(v) if k in keys and v is not None
+                    and not isinstance(v, QuantizedTensor) else v)
                 for k, v in d.items()}
 
     out = dict(weights)
@@ -161,6 +165,7 @@ def quantize_tree(weights, mode: str, keys=("qkv_proj", "o_proj", "gate_up",
         out["layers_segments"] = [convert(seg) for seg in out["layers_segments"]]
     if "last_layer" in out:
         out["last_layer"] = convert(out["last_layer"])
-    if "lm_head" in out and "lm_head" in keys:
+    if ("lm_head" in out and "lm_head" in keys
+            and not isinstance(out["lm_head"], QuantizedTensor)):
         out["lm_head"] = quant(out["lm_head"])
     return out
