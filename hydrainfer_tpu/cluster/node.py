@@ -154,6 +154,10 @@ class NodeConfig:
     # token-delivery/termination staleness to ~this many windows)
     max_threaded_backlog: int = 4
     token_table_size: int = 4096
+    # reference parity: a failed migrate RPC is retried against the next
+    # balancer target this many times before the request is terminated
+    # (reference retries twice, epdnode.py:428-442)
+    migrate_retries: int = 2
 
 
 @dataclass
@@ -572,6 +576,8 @@ class AsyncEPDNode:
             rcb.metric.encode_execute.append(now)
 
     async def start(self) -> None:
+        if self._tasks and not self._stop:
+            return          # idempotent: re-wired by a recovering cluster
         self._stop = False
         self._tasks = [asyncio.create_task(self.step_loop()),
                        asyncio.create_task(self.perf_monitor_loop())]
@@ -708,13 +714,27 @@ class AsyncEPDNode:
                 self.batch_scheduler.schedule_running(rcb)
                 continue
             self.batch_scheduler.migrating_acquire()
-            try:
-                await target.node.migrate(self, rcb)
-            except Exception:
-                logger.exception(f"{rcb.request_id} migrate to {target.name} failed")
+            # a failed handoff is retried against the NEXT balancer target
+            # (reference retries twice before terminating, epdnode.py:428-442);
+            # landing back on self is a valid outcome — keep it local
+            for attempt in range(1 + max(0, self.config.migrate_retries)):
+                try:
+                    await target.node.migrate(self, rcb)
+                    break
+                except Exception:
+                    logger.exception(
+                        f"{rcb.request_id} migrate to {target.name} failed "
+                        f"(attempt {attempt + 1})")
+                    target = lb.choice(key=rcb.scenario_type)
+                    if target.name == self.name:
+                        rcb.step()  # skip PullCache: serve locally instead
+                        self.batch_scheduler.schedule_running(rcb)
+                        self.batch_scheduler.migrating_release()
+                        break
+            else:
                 await self.free_migrate_request(rcb)
                 for proc in rcb.output_token_processors:
-                    proc.append_token_id(self.language_config.eos_token_id, True)
+                    proc.terminate()
 
     # 2. receiver enqueues the RCB; PullCache jumps the waiting queue
     async def migrate(self, src_node: "AsyncEPDNode", rcb: RequestControlBlock) -> None:
@@ -767,9 +787,18 @@ class AsyncEPDNode:
         except Exception:
             logger.exception(f"{rcb.request_id} cache pull from "
                              f"{src_node} failed")
+            # best-effort source-side free: without it the source's blocks
+            # and its scheduler's migrating reservation leak forever on a
+            # transient pull failure — only a truly unreachable source may
+            # leak (ADVICE r3)
+            try:
+                await src_node.free_migrate_request(old)
+            except Exception:
+                logger.warning(f"{rcb.request_id}: source-side free on "
+                               f"{src_node} also failed; its blocks leak")
             self._free_cache(rcb)
             for proc in rcb.output_token_processors:
-                proc.append_token_id(self.language_config.eos_token_id, True)
+                proc.terminate()
             return
         rcb.step()
 

@@ -130,6 +130,11 @@ class TokenPushProcessor(OutputTokenProcessor):
     def append_token_id(self, token_id, is_last_token=False):
         self.send.send_pyobj((self.request_id, int(token_id), bool(is_last_token)))
 
+    def terminate(self):
+        # None token_id = abort sentinel: the collector terminates the
+        # parent-side processors instead of appending a fabricated token
+        self.send.send_pyobj((self.request_id, None, True))
+
 
 @dataclass
 class PeerInfo:
@@ -190,7 +195,20 @@ class PeerNodeProxy:
             from multiprocessing import shared_memory
             name, shape, dtype = await self._rpc().call(
                 "gather_blocks_shm", is_kv, block_table)
-            shm = shared_memory.SharedMemory(name=name)
+            try:
+                shm = shared_memory.SharedMemory(name=name)
+            except (FileNotFoundError, OSError):
+                # boot_id matches but /dev/shm is not actually shared (two
+                # containers on one kernel): demote this peer to the RPC
+                # data plane permanently and ask the source to re-gather —
+                # its shm segment leaks one payload, but the pull succeeds
+                logger.warning(
+                    f"shm attach to {name} from {self.name} failed; peers "
+                    "share a boot_id but not /dev/shm — falling back to the "
+                    "RPC data plane for this peer")
+                self._same_host = False
+                return await self._rpc().call("gather_blocks", is_kv,
+                                              block_table)
             try:
                 blocks = np.array(np.ndarray(shape, dtype, buffer=shm.buf))
             finally:
@@ -469,6 +487,10 @@ class ProcessClusterConfig:
     # of hanging until RPC timeout). 0 disables the monitor.
     health_interval_s: float = 2.0
     health_strikes: int = 2
+    # how many times a dead SPAWNED node is restarted (reference parity:
+    # Ray actors use max_restarts=1, cluster.py:131). Attached nodes are
+    # instead re-attached when their address answers pings again.
+    max_respawns: int = 1
 
 
 class NodeHandle:
@@ -477,7 +499,8 @@ class NodeHandle:
 
     def __init__(self, name: str, node_type: NodeType, addr: str,
                  proc: Optional[multiprocessing.Process],
-                 node_type_str: str = "", tpot_slo: float = 0.4):
+                 node_type_str: str = "", tpot_slo: float = 0.4,
+                 boot: Optional["NodeBoot"] = None):
         self.name = name            # full control name, e.g. "PDNode:p0"
         self.node_type = node_type
         self.node_type_str = node_type_str or str(node_type)
@@ -486,6 +509,8 @@ class NodeHandle:
         self.proc = proc
         self.client = RpcClient(addr)
         self.alive = True
+        self.boot = boot            # spawned nodes only: respawn recipe
+        self.respawns = 0
 
 
 class ProcessCluster:
@@ -547,7 +572,8 @@ class ProcessCluster:
                 self.handles.append(NodeHandle(
                     full_name, NodeType(boot.node_type),
                     f"tcp://{boot.rpc_host}:{boot.rpc_port}", proc,
-                    node_type_str=boot.node_type, tpot_slo=boot.tpot_slo))
+                    node_type_str=boot.node_type, tpot_slo=boot.tpot_slo,
+                    boot=boot))
 
         self._procs_by_request: Dict = {}
         self._node_by_request: Dict = {}     # request_id -> handle.name
@@ -637,13 +663,96 @@ class ProcessCluster:
             self._node_by_request.pop(rid, None)
             for proc in self._procs_by_request.pop(rid, ()):
                 proc.terminate()
+        # elastic recovery: restart a dead spawned node once (reference:
+        # Ray max_restarts=1, cluster.py:131); for an attached node keep
+        # probing its address and fold it back in when it answers again
+        if h.boot is not None and h.respawns < self.config.max_respawns:
+            asyncio.ensure_future(self._respawn(h))
+        elif h.proc is None:
+            asyncio.ensure_future(self._reattach(h))
+
+    async def _respawn(self, h: "NodeHandle") -> None:
+        h.respawns += 1
+        logger.info(f"respawning node {h.name} "
+                    f"(attempt {h.respawns}/{self.config.max_respawns})")
+        try:
+            if h.proc is not None:
+                h.proc.join(timeout=1.0)
+            boot = dataclasses.replace(
+                h.boot, rpc_port=find_free_port())   # old port may linger
+            ctx = multiprocessing.get_context("spawn")
+            proc = ctx.Process(target=node_worker_main, args=(boot,),
+                               name=h.name, daemon=True)
+            proc.start()
+            h.boot = boot
+            h.proc = proc
+            h.client.close()
+            h.addr = f"tcp://{boot.rpc_host}:{boot.rpc_port}"
+            h.client = RpcClient(h.addr)
+            await self._rejoin(h)
+        except Exception:
+            logger.exception(f"respawn of {h.name} failed; node stays dead")
+
+    async def _reattach(self, h: "NodeHandle") -> None:
+        deadline = time.perf_counter() + self.config.start_timeout_s
+        while time.perf_counter() < deadline:
+            await asyncio.sleep(max(1.0, self.config.health_interval_s))
+            try:
+                await h.client.call("ping", timeout=2.0)
+            except Exception:
+                continue
+            try:
+                await self._rejoin(h)
+            except Exception:
+                logger.exception(f"re-attach of {h.name} failed")
+            return
+        logger.error(f"node {h.name} ({h.addr}) never came back; giving up")
+
+    async def _rejoin(self, h: "NodeHandle") -> None:
+        """Wait for a restarted/recovered node, rewire every peer table
+        (its address may have changed), and put it back in the routing
+        pools."""
+        deadline = time.perf_counter() + self.config.start_timeout_s
+        while True:
+            try:
+                await h.client.call("ping", timeout=2.0)
+                break
+            except Exception:
+                if h.proc is not None and not h.proc.is_alive():
+                    raise RuntimeError(f"restarted node {h.name} died again")
+                if time.perf_counter() > deadline:
+                    raise TimeoutError(f"restarted node {h.name} not ready")
+                await asyncio.sleep(0.2)
+        infos = [PeerInfo(name=x.name, node_type=x.node_type_str,
+                          tpot_slo=x.tpot_slo, addr=x.addr)
+                 for x in self.handles if x.alive or x is h]
+        await h.client.call("connect_tokens", self.token_addr)
+        await h.client.call(
+            "wire_peers", [p for p in infos if p.name != h.name])
+        await h.client.call("start")
+        for x in self.handles:
+            if x.alive and x is not h:
+                try:
+                    await x.client.call(
+                        "wire_peers", [p for p in infos if p.name != x.name])
+                except Exception:
+                    pass
+        h.alive = True
+        if h.node_type.can_encode and h not in self._enodes:
+            self._enodes.append(h)
+        if h.node_type.can_prefill and h not in self._pnodes:
+            self._pnodes.append(h)
+        logger.info(f"node {h.name} rejoined the cluster at {h.addr}")
 
     async def _collect_tokens(self) -> None:
         while True:
             request_id, token_id, is_last = await self.token_sock.recv_pyobj()
             procs = self._procs_by_request.get(request_id, ())
             for proc in procs:
-                proc.append_token_id(token_id, is_last)
+                if token_id is None:
+                    proc.terminate()
+                else:
+                    proc.append_token_id(token_id, is_last)
             if is_last:
                 self._procs_by_request.pop(request_id, None)
                 self._node_by_request.pop(request_id, None)

@@ -40,7 +40,15 @@ def convert_pickle_to_safetensors(path: str) -> None:
                                + ".safetensors")
         if os.path.exists(st_path):
             continue
-        obj = torch.load(os.path.join(path, filename), map_location="cpu")
+        # weights_only: never execute unpickled code from a downloaded repo
+        # (legacy full-object pickles are skipped with a warning instead)
+        try:
+            obj = torch.load(os.path.join(path, filename),
+                             map_location="cpu", weights_only=True)
+        except Exception:
+            logger.warning(f"{filename} is not a weights-only pickle; "
+                           "skipping (convert it manually if trusted)")
+            continue
         state_dict = obj.state_dict() if hasattr(obj, "state_dict") else obj
         if not isinstance(state_dict, dict) or not all(
                 isinstance(v, torch.Tensor) for v in state_dict.values()):

@@ -258,7 +258,13 @@ class RandomWeightFactory(ModelFactory):
                    for x in jax.tree_util.tree_leaves(lm.weights))
 
     def param_count(self):
-        """Parameter count independent of the weight dtype (for computing
-        dtype-normalized rooflines, e.g. the bf16 bandwidth bound)."""
-        lm = self.getLanguageModel()
-        return sum(x.size for x in jax.tree_util.tree_leaves(lm.weights))
+        """LOGICAL parameter count — the unquantized model's element count
+        (for dtype-normalized rooflines, e.g. the bf16 bandwidth bound).
+        Computed via eval_shape of the UNQUANTIZED init so int4 packing
+        (which halves stored elements) and quant scales (which add leaves)
+        don't skew the count (ADVICE r3)."""
+        shapes = jax.eval_shape(
+            lambda k: init_decoder_weights(self.cfg, k, jnp.bfloat16,
+                                           quantization="none"),
+            jax.random.PRNGKey(0))
+        return sum(x.size for x in jax.tree_util.tree_leaves(shapes))
