@@ -39,7 +39,8 @@ def run_bench(arch: str, n_requests: int, prompt_len: int, max_tokens: int,
               kv_blocks: int = 0, kv_ref: bool = True,
               attn_impl: str = "auto", layer_loop: str = "",
               trace_dir: str = "", pipeline: str = "",
-              multi_step: int = 0):
+              multi_step: int = 0, bisect: str = "",
+              kv_pages_per_block: int = 0):
     from hydrainfer_tpu.models.random_init import ARCH_CONFIGS
     if not layer_loop:
         # unroll is the measured default for standard attention; MLA archs
@@ -52,7 +53,9 @@ def run_bench(arch: str, n_requests: int, prompt_len: int, max_tokens: int,
     factory = RandomWeightFactory(arch, quantization=quantization,
                                   kv_scale=0.05 if kv_int8 else None,
                                   multimodal=image_ratio > 0,
-                                  layer_loop=layer_loop)
+                                  layer_loop=layer_loop, bisect=bisect,
+                                  kv_pages_per_block=(kv_pages_per_block
+                                                      or None))
     cfg = NodeConfig(
         batch_scheduler=BatchSchedulerConfig(
             max_running_requests=n_requests, priority="prefill"),
