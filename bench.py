@@ -40,7 +40,8 @@ def run_bench(arch: str, n_requests: int, prompt_len: int, max_tokens: int,
               attn_impl: str = "auto", layer_loop: str = "",
               trace_dir: str = "", pipeline: str = "",
               multi_step: int = 0, bisect: str = "",
-              kv_pages_per_block: int = 0):
+              kv_pages_per_block: int = 0, block_size: int = 16,
+              breakdown: bool = False, encode_chunk: int = -1):
     from hydrainfer_tpu.models.random_init import ARCH_CONFIGS
     if not layer_loop:
         # unroll is the measured default for standard attention; MLA archs
@@ -60,9 +61,10 @@ def run_bench(arch: str, n_requests: int, prompt_len: int, max_tokens: int,
         batch_scheduler=BatchSchedulerConfig(
             max_running_requests=n_requests, priority="prefill"),
         request_processor=RequestProcessorConfig(num_request_process_workers=1),
-        kv_block_size=16,
+        kv_block_size=block_size,
         n_kv_blocks=kv_blocks or max(
-            256, 2 * n_requests * (prompt_len + max_tokens) // 16),
+            256 * 16 // block_size,
+            2 * n_requests * (prompt_len + max_tokens) // block_size),
         n_image_blocks=1,
     )
     cfg.kv_cache_ref = kv_ref
@@ -81,6 +83,10 @@ def run_bench(arch: str, n_requests: int, prompt_len: int, max_tokens: int,
     if image_ratio > 0:
         cfg.n_image_blocks = max(8, n_requests)
         cfg.image_block_size = factory.clip_cfg.n_patches
+    if breakdown:
+        cfg.log_latency_breakdown = True
+    if encode_chunk >= 0:
+        cfg.batch_scheduler.encode_chunk_images = encode_chunk
     engine = OfflineEngine(cfg, model_factory=factory,
                            node_type="EPD" if image_ratio > 0 else "PD")
     engine.node.batch_scheduler.token_budget = token_budget
@@ -119,7 +125,8 @@ def run_bench(arch: str, n_requests: int, prompt_len: int, max_tokens: int,
         if trace_dir and rnd == 1:
             # trace ONLY the reported phase (warmup compiles would bloat
             # the xplane beyond what the tunnel can ship back)
-            jax.profiler.start_trace(trace_dir)
+            jax.profiler.start_trace(trace_dir,
+                                     create_perfetto_trace=True)
         t0 = time.perf_counter()
         outs = engine.generate(reqs, timeout_s=1200)
         elapsed = time.perf_counter() - t0

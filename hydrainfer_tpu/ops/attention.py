@@ -24,6 +24,7 @@ Batch geometry (static shapes — every array is padded to a bucket):
   Fill instruction (reference: hydrainfer/engine/isa.py).
 """
 import functools
+import os
 from dataclasses import dataclass
 from typing import Optional, Tuple
 
@@ -203,6 +204,31 @@ def paged_attention_layered(q: jax.Array, cache: jax.Array, layer_id,
         return_cache=return_cache)
 
 
+def paged_attention_mha_decode(q: jax.Array, cache: jax.Array, layer_id,
+                               params: PagedAttentionParams, sm_scale: float,
+                               kv_scale: Optional[float] = None,
+                               pages_per_block: Optional[int] = None,
+                               interpret: bool = False) -> jax.Array:
+    """Builder decode-MHA kernel (ops/pallas/mha_decode.py): all-decode
+    windows where every sequence has ONE query token (row i = seq i — the
+    params builder emits decode rows in sequence order). q is permuted to
+    the kernel's bulk-extraction head order and the output unpermuted."""
+    from .pallas.mha_decode import decode_head_perm, mha_decode_attention
+    kv_pages = cache[layer_id, 0]
+    perm = decode_head_perm(q.shape[1], kv_pages.dtype)
+    if perm is not None:
+        q = q[:, perm, :]
+    out = mha_decode_attention(
+        q, kv_pages, params.kv_lens, jnp.maximum(params.block_tables, 0),
+        params.num_seqs, sm_scale=sm_scale,
+        k_scale=kv_scale, v_scale=kv_scale,
+        num_kv_pages_per_block=pages_per_block, interpret=interpret)
+    if perm is not None:
+        inv = perm.argsort()
+        out = out[:, inv, :]
+    return out
+
+
 def paged_attention_tp(q: jax.Array, cache: jax.Array, layer_id,
                        params: PagedAttentionParams, sm_scale: float,
                        max_q: int, mesh, impl: str = "auto",
@@ -309,6 +335,34 @@ def paged_attention(q: jax.Array, cache: jax.Array, layer_id,
             q, cache, layer_id, params, sm_scale,
             k_scale=kv_scale, v_scale=kv_scale,
             interpret=jax.default_backend() != "tpu")
+    # all-decode MHA window (max_q == 1, ratio == 1): the builder decode
+    # kernel vectorizes over kv heads — the upstream kernel's unrolled
+    # per-head loop costs ~8 ms/step at the llava-7b shape (PERF_NOTES r4)
+    if impl in ("auto", "mha_decode") and max_q == 1:
+        from .pallas import mha_decode as _mhad
+        if _mhad.supports(q.shape[1], cache.shape[-2] // 2, q.shape[-1],
+                          cache.dtype) and os.environ.get(
+                              "HYDRAINFER_MHA_DECODE", "1") != "0":
+            try:
+                if impl == "auto" and jax.default_backend() != "tpu":
+                    raise ImportError("mha decode auto-path is TPU-only")
+                return paged_attention_mha_decode(
+                    q, cache, layer_id, params, sm_scale, kv_scale=kv_scale,
+                    pages_per_block=pages_per_block,
+                    interpret=jax.default_backend() != "tpu")
+            except Exception as e:
+                if impl == "mha_decode":
+                    raise
+                if not _FALLBACK_LOGGED:
+                    _FALLBACK_LOGGED = True
+                    import logging
+                    logging.getLogger(__name__).warning(
+                        "mha decode kernel unavailable, trying the ragged "
+                        "kernel (first occurrence only): %s", e)
+    if impl == "mha_decode":
+        # forced but this batch is not an all-decode window (prefill /
+        # mixed): the upstream ragged kernel serves those
+        impl = "ragged"
     if impl in ("auto", "ragged", "pallas"):
         try:
             if impl == "auto" and jax.default_backend() != "tpu":

@@ -1,0 +1,102 @@
+"""Builder decode-MHA kernel (ops/pallas/mha_decode.py) vs the numpy/jnp
+oracles, interpret mode on CPU.
+
+The kernel's contract is the all-decode fused window: every sequence has
+exactly ONE query token and row i is sequence i. Covers single/multi kv
+blocks, padded sequence/token tails, bf16, int8 with static scales, and the
+head permutation round-trip through the adapter."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hydrainfer_tpu.ops.attention import (paged_attention_jnp,
+                                          paged_attention_mha_decode)
+from hydrainfer_tpu.ops.pallas.mha_decode import decode_head_perm, supports
+from tests.ops.test_paged_attention import build_case
+
+
+def run(q, cache, params, *, dtype=jnp.float32, kv_scale=None, pp=None):
+    """Through the adapter (cache (L,1,NB,BS,CKV,D), layer 0) so the head
+    permutation round-trip is part of every test."""
+    cache = jnp.asarray(cache).astype(
+        dtype if kv_scale is None else jnp.int8)
+    out = paged_attention_mha_decode(
+        jnp.asarray(q).astype(dtype), cache, 0, params,
+        1.0 / float(np.sqrt(q.shape[-1])), kv_scale=kv_scale,
+        pages_per_block=pp, interpret=True)
+    return np.asarray(out.astype(jnp.float32))
+
+
+@pytest.mark.parametrize("seq_specs", [
+    [(1, 1)],                        # one seq, one token
+    [(1, 9)],                        # decode with history
+    [(1, 4), (1, 7), (1, 12)],       # decode batch, ragged kv lens
+    [(1, 16), (1, 3), (1, 8), (1, 5)],
+])
+def test_vs_oracle_mha(seq_specs):
+    rng = np.random.default_rng(0)
+    q, cache, params, expected = build_case(rng, seq_specs, H=4, KVH=4)
+    out = run(q, cache, params)
+    np.testing.assert_allclose(out[: expected.shape[0]], expected,
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_multi_kv_block_online_softmax():
+    rng = np.random.default_rng(1)
+    q, cache, params, expected = build_case(rng, [(1, 37), (1, 21)],
+                                            H=4, KVH=4)
+    out = run(q, cache, params, pp=2)   # 2 pages * 4 slots = 8 kv per block
+    np.testing.assert_allclose(out[: expected.shape[0]], expected,
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_padded_rows_and_seqs_stay_finite():
+    rng = np.random.default_rng(2)
+    q, cache, params, expected = build_case(rng, [(1, 6), (1, 3)],
+                                            T_pad=8, S_pad=4, H=4, KVH=4)
+    out = run(q, cache, params)
+    np.testing.assert_allclose(out[:2], expected[:2], rtol=2e-4, atol=2e-4)
+    assert np.all(np.isfinite(out))
+    assert np.all(out[2:] == 0)      # padding rows are zeroed, not garbage
+
+
+def test_bf16_loosely():
+    rng = np.random.default_rng(3)
+    q, cache, params, expected = build_case(rng, [(1, 12), (1, 9)],
+                                            H=4, KVH=4)
+    out = run(q, cache, params, dtype=jnp.bfloat16)
+    np.testing.assert_allclose(out[: expected.shape[0]], expected,
+                               rtol=5e-2, atol=5e-2)
+
+
+def test_int8_kv_with_scale_and_perm():
+    """int8 cache exercises the even/odd head permutation through the
+    adapter; the oracle runs on the same quantized cache via the jnp path."""
+    rng = np.random.default_rng(4)
+    # 32 heads: the real llava-7b head count, nontrivial permutation
+    q, cache, params, _ = build_case(rng, [(1, 7), (1, 11)], H=32, KVH=32)
+    scale = 0.05
+    cache_q = np.clip(np.round(cache / scale), -127, 127).astype(np.int8)
+    ref = paged_attention_jnp(
+        jnp.asarray(q), jnp.asarray(cache_q), 0, params,
+        1.0 / np.sqrt(q.shape[-1]), max_q=1, kv_scale=scale)
+    out = run(q, cache_q.astype(np.float32), params, kv_scale=scale)
+    np.testing.assert_allclose(out[:2], np.asarray(ref)[:2],
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_head_perm_roundtrip():
+    perm = decode_head_perm(32, jnp.int8)
+    assert perm is not None
+    assert sorted(perm.tolist()) == list(range(32))
+    assert np.all(perm.argsort()[perm] == np.arange(32))
+    assert decode_head_perm(32, jnp.bfloat16) is None
+
+
+def test_supports_gate():
+    assert supports(32, 32, 128, jnp.int8)
+    assert supports(32, 32, 128, jnp.bfloat16)
+    assert not supports(12, 2, 128, jnp.bfloat16)    # GQA → upstream
+    assert not supports(32, 32, 64, jnp.int8)        # head_dim tiling
+    assert not supports(40, 40, 128, jnp.int8)       # H/2 % 8 != 0
+    assert supports(40, 40, 128, jnp.bfloat16)
