@@ -494,8 +494,11 @@ class AsyncEPDNode:
         # Fill postprocessing (the host read of sampled tokens) is deferred
         # through a bounded pipeline so back-to-back decode steps never wait
         # on the host — the device feeds itself through the token table.
-        embed_future = self.executor.execute_image_embed(embeds) if len(embeds) \
-            else self.executor.execute_empty(embeds)
+        # FILLS DISPATCH FIRST: the decode window enters the device queue
+        # ahead of this step's ViT encode, so resident decodes never wait
+        # behind an encode they don't depend on (an embed's own prefill
+        # only runs in a LATER step, so ordering encode after fills is
+        # always dependency-safe).
         if len(fills):
             spec_done = False
             fx = self.executor.fill_executor
@@ -530,6 +533,8 @@ class AsyncEPDNode:
                     self._pending_fills.append(fut)
         else:
             self.flush_fills()
+        embed_future = self.executor.execute_image_embed(embeds) if len(embeds) \
+            else self.executor.execute_empty(embeds)
         self.executor.execute_empty(empties)
         embed_future.get()
         self._drain_pipeline()

@@ -32,6 +32,12 @@ class BatchSchedulerConfig:
     max_running_requests: int = 16
     chunked_prefill: bool = True
     debug: bool = False
+    # encode sub-batching: with fills resident, admit at most this many
+    # images per step (instead of the full profiled image budget) so ViT
+    # encode bursts interleave with decode windows instead of head-of-line
+    # blocking them (measured: a full-budget burst at image_ratio 0.5 costs
+    # p50 TTFT 2.67 s vs 0.13 s text-only — PERF_NOTES r4). 0 disables.
+    encode_chunk_images: int = 2
 
 
 @dataclass
@@ -271,8 +277,15 @@ class BatchScheduler:
 
         # 3. pack under budgets
         n_images = 0
+        image_budget = self.image_budget
+        if self.config.encode_chunk_images > 0 and (prefill_seqs
+                                                    or decode_seqs):
+            # fills are resident: sub-batch the encodes so they interleave
+            # with decode windows instead of blocking them wholesale
+            image_budget = min(image_budget,
+                               self.config.encode_chunk_images)
         for rcb in embed_seqs:
-            if n_images < self.image_budget:
+            if n_images < image_budget:
                 this_step.append(rcb)
                 n_images += len(rcb.current_instruction().images_size)
             else:

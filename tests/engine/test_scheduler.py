@@ -195,3 +195,64 @@ def test_prefix_discount_pins_matched_blocks():
     assert b.virtual_kv_cache.n_cache_tokens == 16  # all 4 blocks matched
 
     sched.release_reservation(b)              # idempotent wrt pins
+
+
+def make_embed_rcb(n_images=1):
+    import numpy as np
+    from hydrainfer_tpu.engine.isa import ImageEmbed
+    rcb = RequestControlBlock()
+    rcb.sampling_params = SamplingParameters(max_tokens=4)
+    rcb.request_metadata = RequestMetadata(0, 4, 4, n_images)
+    b = InstructionListBuilder()
+    b.append(ImageEmbed(np.zeros((n_images, 4), np.float32),
+                        list(range(4 * n_images)),
+                        [(2, 2)] * n_images, None))
+    b.append(TextFill([1, 2, 3, 4], [0, 1, 2, 3], [0, 1, 2, 3], True,
+                      None, None))
+    rcb.instructions = b.build()
+    return rcb
+
+
+def test_encode_sub_batching_with_fills_resident():
+    """With decodes/prefills resident, at most encode_chunk_images images
+    are admitted per step (ViT bursts interleave with decode windows
+    instead of head-of-line blocking them); with no fills resident the
+    full profiled image budget applies."""
+    from hydrainfer_tpu.engine.isa import ImageEmbed
+
+    def counts(batch):
+        embeds = sum(isinstance(i, ImageEmbed) for _, i in batch)
+        fills = sum(not isinstance(i, ImageEmbed) for _, i in batch)
+        return embeds, fills
+
+    # no fills resident: full budget (2) admitted
+    sched, _ = make_scheduler(max_running=8)
+    sched.config.encode_chunk_images = 1
+    for _ in range(2):
+        sched.schedule_new(make_embed_rcb())
+    embeds, _ = counts(sched.step())
+    assert embeds == 2
+
+    # fills resident: only encode_chunk_images admitted per step
+    sched, _ = make_scheduler(max_running=8)
+    sched.config.encode_chunk_images = 1
+    decode = make_rcb(4)
+    sched.schedule_new(decode)
+    sched.step()
+    sched.schedule_running(decode)        # resident decode
+    for _ in range(2):
+        sched.schedule_new(make_embed_rcb())
+    embeds, fills = counts(sched.step())
+    assert embeds == 1 and fills == 1
+
+    # chunking off (0): full budget even with fills resident
+    sched, _ = make_scheduler(max_running=8)
+    sched.config.encode_chunk_images = 0
+    decode = make_rcb(4)
+    sched.schedule_new(decode)
+    sched.step()
+    sched.schedule_running(decode)
+    for _ in range(2):
+        sched.schedule_new(make_embed_rcb())
+    embeds, fills = counts(sched.step())
+    assert embeds == 2 and fills == 1
