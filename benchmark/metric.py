@@ -82,15 +82,22 @@ class BenchmarkResult:
 
 
 def slo_attainment(result: BenchmarkResult, ttft_slo: float,
-                   tpot_slo: float) -> dict:
+                   tpot_slo: float, gap_p99_slo: float = 0.0) -> dict:
     """Fraction of requests meeting both SLOs + goodput
-    (reference: benchmark/performance_analyzer.py:18-33)."""
+    (reference: benchmark/performance_analyzer.py:18-33).
+
+    gap_p99_slo > 0 adds a STRICT per-token criterion: the p99 of a
+    request's raw inter-token gaps must also meet it. Mean TPOT hides the
+    fused-window burst (tokens arrive one K-window at a time); this is
+    what a per-token SLO checker would enforce."""
     for o in result.outputs:
         o.finalize()
     ok = [o for o in result.outputs if o.success and o.ttft is not None]
     meeting = [o for o in ok
                if o.ttft <= ttft_slo
-               and (not o.tpots or float(np.mean(o.tpots)) <= tpot_slo)]
+               and (not o.tpots or float(np.mean(o.tpots)) <= tpot_slo)
+               and (not gap_p99_slo or not o.tpots
+                    or float(np.percentile(o.tpots, 99)) <= gap_p99_slo)]
     wall = max(result.end_time - result.start_time, 1e-9)
     return {
         "request_rate": result.request_rate,

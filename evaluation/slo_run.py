@@ -43,6 +43,8 @@ async def amain(args):
         image_block_size=(factory.clip_cfg.n_patches
                           if args.image_ratio > 0 else -1))
     node.model.dtype = "bf16"
+    if args.multi_step:
+        node.multi_step_decode = args.multi_step
     # converge the jit-key floors at boot so the measured sweeps never
     # re-key the prefill/decode programs mid-run (see interference.py) —
     # including the full prefill T-ladder: Poisson mixes otherwise keep
@@ -61,10 +63,18 @@ async def amain(args):
     base = f"http://127.0.0.1:{port}"
 
     os.makedirs(args.out, exist_ok=True)
-    entries = make_synthetic_entries(
-        args.num_requests, image_ratio=args.image_ratio,
-        prompt_len_range=(args.min_prompt_len, args.max_prompt_len),
-        output_len_range=(args.min_output_len, args.max_output_len), seed=0)
+    if args.entries:
+        # dataset entries produced by benchmark.data_preprocess (the
+        # reference benchmarks lmms-lab dumps this way,
+        # reference: benchmark/synthetic_dataset.py:42-48)
+        from benchmark.synthetic_dataset import load_entries_json
+        entries = load_entries_json(args.entries)[: args.num_requests]
+    else:
+        entries = make_synthetic_entries(
+            args.num_requests, image_ratio=args.image_ratio,
+            prompt_len_range=(args.min_prompt_len, args.max_prompt_len),
+            output_len_range=(args.min_output_len, args.max_output_len),
+            seed=0)
     try:
         # warmup: compile the serving buckets before any timed request —
         # the FULL entry set, twice over: the first pass compiles every
@@ -80,6 +90,10 @@ async def amain(args):
             analysis = result.analyze()
             analysis["slo"] = slo_attainment(result, args.ttft_slo,
                                              args.tpot_slo)
+            if args.gap_slo:
+                analysis["slo_strict"] = slo_attainment(
+                    result, args.ttft_slo, args.tpot_slo,
+                    gap_p99_slo=args.gap_slo)
             with open(os.path.join(args.out, f"rate_{rate}.json"), "w") as f:
                 json.dump(analysis, f, indent=1)
             rows.append(analysis)
@@ -87,7 +101,12 @@ async def amain(args):
         print(json.dumps(table, indent=1))
         with open(os.path.join(args.out, "summary.json"), "w") as f:
             json.dump({"arch": args.arch, "ttft_slo": args.ttft_slo,
-                       "tpot_slo": args.tpot_slo, "table": table}, f, indent=1)
+                       "tpot_slo": args.tpot_slo, "gap_slo": args.gap_slo,
+                       "multi_step": args.multi_step,
+                       "entries": args.entries or "synthetic",
+                       "image_ratio": args.image_ratio,
+                       "strict": [r.get("slo_strict") for r in rows],
+                       "table": table}, f, indent=1)
     finally:
         await cluster.stop()
         await runner.cleanup()
@@ -104,8 +123,20 @@ def main():
     ap.add_argument("--min-output-len", type=int, default=32)
     ap.add_argument("--max-output-len", type=int, default=128)
     ap.add_argument("--image-ratio", type=float, default=0.0)
+    ap.add_argument("--entries", default="",
+                    help="dataset entries JSON (benchmark.data_preprocess "
+                         "output) instead of synthetic entries; image "
+                         "entries require --image-ratio > 0 so the engine "
+                         "boots the vision tower")
     ap.add_argument("--ttft-slo", type=float, default=5.0)
     ap.add_argument("--tpot-slo", type=float, default=0.1)
+    ap.add_argument("--gap-slo", type=float, default=0.0,
+                    help="also report STRICT attainment: per-request p99 "
+                         "inter-token gap must meet this (seconds)")
+    ap.add_argument("--multi-step", type=int, default=0,
+                    help="fused decode window K (0 = node default) — the "
+                         "burstiness/throughput dial the strict SLO trades "
+                         "against")
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--platform", default=None, choices=[None, "cpu", "tpu"])
     ap.add_argument("--out", default="result/slo")
