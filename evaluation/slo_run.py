@@ -91,9 +91,12 @@ async def amain(args):
             analysis["slo"] = slo_attainment(result, args.ttft_slo,
                                              args.tpot_slo)
             if args.gap_slo:
-                analysis["slo_strict"] = slo_attainment(
-                    result, args.ttft_slo, args.tpot_slo,
-                    gap_p99_slo=args.gap_slo)
+                # attainment at a LADDER of per-token gap SLOs: one run
+                # yields the whole strictness curve
+                analysis["slo_strict"] = {
+                    str(g): slo_attainment(result, args.ttft_slo,
+                                           args.tpot_slo, gap_p99_slo=g)
+                    for g in args.gap_slo}
             with open(os.path.join(args.out, f"rate_{rate}.json"), "w") as f:
                 json.dump(analysis, f, indent=1)
             rows.append(analysis)
@@ -130,9 +133,10 @@ def main():
                          "boots the vision tower")
     ap.add_argument("--ttft-slo", type=float, default=5.0)
     ap.add_argument("--tpot-slo", type=float, default=0.1)
-    ap.add_argument("--gap-slo", type=float, default=0.0,
-                    help="also report STRICT attainment: per-request p99 "
-                         "inter-token gap must meet this (seconds)")
+    ap.add_argument("--gap-slo", type=float, nargs="*", default=[],
+                    help="also report STRICT attainment at these per-token "
+                         "gap SLOs: per-request p99 inter-token gap must "
+                         "meet each level (seconds)")
     ap.add_argument("--multi-step", type=int, default=0,
                     help="fused decode window K (0 = node default) — the "
                          "burstiness/throughput dial the strict SLO trades "
