@@ -73,52 +73,45 @@ def supports(n_q_heads, n_kv_heads, head_dim, kv_dtype) -> bool:
     return n_kv_heads % 8 == 0                   # f32: plain strided loads
 
 
-def _extract_kv_groups(buf, n_tok, ckv, head_dim, plain_loads,
-                       k_scale, v_scale):
+def _extract_kv_groups(buf, n_tok, ckv, head_dim, plain_loads):
     """(PP, BS, CKV, D) page buffer ref → [(K_g, V_g)] per HEAD GROUP, each
-    (n_tok, Hg, D) float32 in the kernel's head order (decode_head_perm).
+    (n_tok, Hg, D) bfloat16 UNSCALED in the kernel's head order
+    (decode_head_perm). int8/fp8 dequant scales are folded elsewhere
+    (k_scale into the pre-scaled q, v_scale into the final normalize) so
+    the extraction is a bare cast — no per-element scale multiplies.
     Groups stay separate — concatenating (n_tok, H, D) K/V tiles costs ~1MB
-    of VMEM relayout copies per kv block, the dominant cost of the naive
-    form; per-group flash only concatenates the tiny (n_tok, Hg) scores."""
+    of VMEM relayout copies per kv block; per-group flash only touches the
+    tiny (n_tok, Hg) score tiles."""
     n_kv_heads = ckv // 2
     if plain_loads:
         # interpret mode / f32: plain strided slices are exact. Emulate the
         # packed head order so the caller-side permutation stays uniform.
-        kv = buf[...].reshape(n_tok, ckv, head_dim).astype(jnp.float32)
+        kv = buf[...].reshape(n_tok, ckv, head_dim)
+        kv = kv.astype(jnp.float32 if kv.dtype == jnp.float32
+                       else jnp.bfloat16)
         k = kv[:, 0::2, :]
         v = kv[:, 1::2, :]
         if decode_head_perm(n_kv_heads, buf.dtype) is not None:
             # packed byte-lane head order: [evens] + [odds], as two groups
-            groups = [(k[:, 0::2, :], v[:, 0::2, :]),
-                      (k[:, 1::2, :], v[:, 1::2, :])]
-        else:
-            groups = [(k, v)]
-    else:
-        flat = buf.reshape(n_tok * ckv, head_dim)
-        pack = _packing(flat.dtype)
-        words = flat.bitcast(jnp.uint32)[...]    # (n_tok*ckv/pack, D)
-        if pack == 2:        # bf16: word = [K_h | V_h], heads in order
-            k = pltpu.bitcast(words << 16, jnp.float32)
-            v = pltpu.bitcast(words & jnp.uint32(0xFFFF0000), jnp.float32)
-            groups = [(k.reshape(n_tok, n_kv_heads, head_dim),
-                       v.reshape(n_tok, n_kv_heads, head_dim))]
-        elif pack == 4:      # int8/fp8: bytes {0,2}=K, {1,3}=V
-            def byte(i):
-                b = pltpu.bitcast((words >> (8 * i)).astype(jnp.uint8),
-                                  flat.dtype)
-                return b.astype(jnp.float32).reshape(
-                    n_tok, ckv // 4, head_dim)
-            groups = [(byte(0), byte(1)), (byte(2), byte(3))]
-        else:
-            raise NotImplementedError(f"kv dtype {flat.dtype}")
-    out = []
-    for k, v in groups:
-        if k_scale is not None:
-            k = k * k_scale
-        if v_scale is not None:
-            v = v * v_scale
-        out.append((k, v))
-    return out
+            return [(k[:, 0::2, :], v[:, 0::2, :]),
+                    (k[:, 1::2, :], v[:, 1::2, :])]
+        return [(k, v)]
+    flat = buf.reshape(n_tok * ckv, head_dim)
+    pack = _packing(flat.dtype)
+    words = flat.bitcast(jnp.uint32)[...]    # (n_tok*ckv/pack, D)
+    if pack == 2:        # bf16: word = [K_h | V_h], heads in order
+        k = pltpu.bitcast(words << 16, jnp.float32).astype(jnp.bfloat16)
+        v = pltpu.bitcast(words & jnp.uint32(0xFFFF0000),
+                          jnp.float32).astype(jnp.bfloat16)
+        return [(k.reshape(n_tok, n_kv_heads, head_dim),
+                 v.reshape(n_tok, n_kv_heads, head_dim))]
+    if pack == 4:        # int8/fp8: bytes {0,2}=K, {1,3}=V
+        def byte(i):
+            b = pltpu.bitcast((words >> (8 * i)).astype(jnp.uint8),
+                              flat.dtype)
+            return b.astype(jnp.bfloat16).reshape(n_tok, ckv // 4, head_dim)
+        return [(byte(0), byte(1)), (byte(2), byte(3))]
+    raise NotImplementedError(f"kv dtype {flat.dtype}")
 
 
 def _mha_decode_kernel(
@@ -145,6 +138,17 @@ def _mha_decode_kernel(
     kv_per_blk = pp * page_size
     pages_per_seq = page_indices_ref.shape[1]
     num_seqs = num_seqs_ref[0]
+    # compute dtype of the extracted K/V tiles (f32 only in plain-f32
+    # interpret mode); MXU operands must match it
+    cd = (jnp.float32 if plain_loads and kv_bufs.dtype == jnp.float32
+          else jnp.bfloat16)
+    n_groups = 2 if decode_head_perm(ckv // 2, kv_bufs.dtype) is not None \
+        else 1
+    hg = n_heads // n_groups
+    # δ(h', h) selector for the diag-extract / p-expand matmul tricks
+    eye_hg = (lax.broadcasted_iota(jnp.int32, (hg, hg), 0)
+              == lax.broadcasted_iota(jnp.int32, (hg, hg), 1)
+              ).astype(jnp.float32)
 
     def copies_for(seq_idx, kv_blk_idx, buf_idx):
         copies = []
@@ -178,8 +182,11 @@ def _mha_decode_kernel(
     def process_seq(state):
         seq_idx, buf_idx = state
         kv_len = kv_lens_ref[seq_idx]
+        # sm_scale AND k_scale fold into q (K stays a bare dequant cast)
         qf = (q_ref[pl.ds(seq_idx, 1)].astype(jnp.float32)
-              .reshape(n_heads, head_dim)) * sm_scale
+              .reshape(n_heads, head_dim)
+              * (sm_scale * (k_scale if k_scale is not None else 1.0))
+              ).astype(cd)
 
         def blk_live(st):
             kv_blk_idx = st[0]
@@ -203,24 +210,33 @@ def _mha_decode_kernel(
                 return (kv_blk_idx + 1, nxt_buf, m_prev + probe,
                         l_prev, acc)
             groups = _extract_kv_groups(kv_bufs.at[buf_idx], kv_per_blk,
-                                        ckv, head_dim, plain_loads,
-                                        k_scale, v_scale)
-            hg = n_heads // len(groups)
+                                        ckv, head_dim, plain_loads)
+            assert len(groups) == n_groups
             if bisect == "extract":
                 # consume K/V cheaply: running sums, no flash math
                 m_d = sum(jnp.sum(k, axis=0) + jnp.sum(v, axis=0)
-                          for k, v in groups)          # (Hg, D)
+                          for k, v in groups).astype(jnp.float32)
                 return (kv_blk_idx + 1, nxt_buf, m_prev,
                         l_prev, acc + jnp.concatenate([m_d] * len(groups),
                                                       axis=0))
 
-            # (N, Hg) scores per head group (VPU lane-reduce over d); only
-            # the SMALL score tiles get concatenated — never (N, H, D) K/V
-            s = jnp.concatenate(
-                [jnp.sum(k * jnp.expand_dims(
-                    lax.slice_in_dim(qf, g * hg, (g + 1) * hg, axis=0), 0),
-                    axis=-1)
-                 for g, (k, _) in enumerate(groups)], axis=1)  # (N, H)
+            # scores on the MXU via the diag trick: K2 (N·Hg, D) @ q_g
+            # contracts d for EVERY (token-head, q-head) pair; row n·Hg+h
+            # only needs column h, extracted with the δ-mask (a VPU
+            # lane-reduce over d here instead costs ~17 µs/block — the
+            # dominant term of the first kernel revision, PERF_NOTES r4)
+            N = kv_per_blk
+            s_parts = []
+            for g, (k, _) in enumerate(groups):
+                q_g = lax.slice_in_dim(qf, g * hg, (g + 1) * hg, axis=0)
+                sg_all = lax.dot_general(
+                    k.reshape(N * hg, head_dim), q_g,
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)      # (N·Hg, Hg)
+                s_parts.append((sg_all.reshape(N, hg, hg)
+                                * eye_hg[None]).sum(-1))      # (N, Hg)
+            s = jnp.concatenate(s_parts, axis=1) if n_groups > 1 \
+                else s_parts[0]                               # (N, H)
             n_live = kv_len - kv_blk_idx * kv_per_blk
             row = lax.broadcasted_iota(jnp.int32, s.shape, 0)
             s = jnp.where(row < n_live, s, MASK_VALUE)
@@ -230,11 +246,20 @@ def _mha_decode_kernel(
             alpha = jnp.exp(m_prev - m_next)                  # (1, H)
             p = jnp.exp(s - m_next)                           # (N, H)
             l_next = alpha * l_prev + jnp.sum(p, axis=0, keepdims=True)
-            pv = jnp.concatenate(
-                [jnp.sum(jnp.expand_dims(
-                    lax.slice_in_dim(p, g * hg, (g + 1) * hg, axis=1), -1)
-                    * v, axis=0)
-                 for g, (_, v) in enumerate(groups)], axis=0)  # (H, D)
+            # p·V on the MXU: expand p with the δ-mask so row (n, h') of
+            # P_sel carries p[n, h]·δ(h', h), then contract the (n, h')
+            # axis against V2 (N·Hg, D) in one matmul per group
+            pv_parts = []
+            for g, (_, v) in enumerate(groups):
+                p_g = lax.slice_in_dim(p, g * hg, (g + 1) * hg, axis=1)
+                p_sel = (jnp.expand_dims(p_g, 1)
+                         * eye_hg[None]).astype(cd)           # (N, Hg, Hg)
+                pv_parts.append(lax.dot_general(
+                    p_sel.reshape(N * hg, hg), v.reshape(N * hg, head_dim),
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32))      # (Hg, D)
+            pv = jnp.concatenate(pv_parts, axis=0) if n_groups > 1 \
+                else pv_parts[0]                              # (H, D)
             acc = acc * alpha.reshape(n_heads, 1) + pv
             return kv_blk_idx + 1, nxt_buf, m_next, l_next, acc
 
@@ -246,6 +271,8 @@ def _mha_decode_kernel(
                                                    init)
         l_safe = jnp.where(l_fin == 0.0, 1.0, l_fin)
         out = acc / l_safe.reshape(n_heads, 1)
+        if v_scale is not None:       # V stays a bare dequant cast too
+            out = out * v_scale
         o_ref[pl.ds(seq_idx, 1)] = out[None].astype(o_ref.dtype)
         return seq_idx + 1, buf_idx
 

