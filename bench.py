@@ -2,10 +2,11 @@
 """Serving benchmark — prints ONE JSON line with the headline metric.
 
 Measures end-to-end engine decode throughput (continuous batching scheduler
-+ paged-cache executor + jitted LM step) on one chip, at the Qwen2-VL-2B
-language-tower architecture (BASELINE.json config 1) with random bf16
-weights — random weights have identical perf characteristics to trained
-ones, and no weights ship in this environment.
++ paged-cache executor + jitted LM step) on one chip, at the LLaVA-7B
+language-tower architecture (the BASELINE north-star metric: tokens/s/chip
+at LLaVA-7B INT8; vicuna-7B shapes, full MHA) with random weights — random
+weights have identical perf characteristics to trained ones, and no weights
+ship in this environment. --arch qwen2-vl-2b-lm is the r1-r3 secondary line.
 
 vs_baseline is measured/roofline where roofline is the HBM-bandwidth bound
 for batched decode: B tokens per full weight read, BW = 819 GB/s (v5e).
@@ -186,7 +187,10 @@ def run_bench(arch: str, n_requests: int, prompt_len: int, max_tokens: int,
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--arch", default="qwen2-vl-2b-lm")
+    ap.add_argument("--arch", default="llava-7b-lm",
+                    help="default = the BASELINE north-star architecture "
+                         "(LLaVA-7B language tower); qwen2-vl-2b-lm is the "
+                         "r1-r3 secondary line")
     ap.add_argument("--n-requests", type=int, default=32)
     ap.add_argument("--prompt-len", type=int, default=128)
     ap.add_argument("--max-tokens", type=int, default=128)

@@ -104,9 +104,13 @@ class NodeConfig:
     # own context and verify them in ONE device step — each accepted draft
     # is a ~free token (decode is weight-read-bound). 0 = off. The verify
     # step is synchronous (acceptance gates the cursor), so it suits
-    # latency-bound/low-batch serving; the fused window remains the
-    # throughput path.
-    spec_ngram_k: int = 0
+    # latency-bound/low-batch serving (spec_max_batch); the fused window
+    # remains the throughput path. DEEP drafts amortize the fixed verify
+    # round-trip: measured chip A/B at batch 2 on lookup-friendly prompts
+    # is 1.46x at k=3 but 1.85x at k=12 — extra verify rows are nearly
+    # free, so the default is deep. Workloads with no n-gram hits are
+    # protected by the proposer backoff (executor.spec_backoff).
+    spec_ngram_k: int = 12
     spec_ngram_n: int = 3
     # boot-time decode warmup + jit-key floor pre-ratchet. None = follow
     # profiler.enabled. When on, the S/MB high-water floors are raised to
@@ -128,7 +132,7 @@ class NodeConfig:
     # speculate only when the resident batch is at most this large: the
     # verify step is synchronous (drains the async pipeline), so it trades
     # throughput for latency — a trade that only wins when latency-bound
-    spec_max_batch: int = 8
+    spec_max_batch: int = 4
     # how the deferred token reads leave the async pipeline:
     #   "batched"     — ONE concatenated device→host read for every pending
     #                   window once the backlog cap is hit (fewest tunnel
@@ -504,7 +508,8 @@ class AsyncEPDNode:
             fx = self.executor.fill_executor
             if (self.config.spec_ngram_k > 0
                     and len(fills) <= self.config.spec_max_batch
-                    and fx.spec_precheck(fills, self.config.spec_ngram_k)):
+                    and fx.spec_precheck(fills, self.config.spec_ngram_k)
+                    and fx.spec_should_try()):
                 # the cheap precheck gates the (synchronous) verify path so
                 # never-speculating workloads don't pay the pipeline drain;
                 # the drain itself must precede the proposer (token order +

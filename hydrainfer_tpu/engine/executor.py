@@ -118,6 +118,14 @@ class FillExecutor:
         # emitted by them / single-step-equivalent steps saved
         self.spec_steps = 0
         self.spec_tokens = 0
+        # proposer backoff: a spec attempt whose proposer finds NO n-gram
+        # hit still cost the caller a synchronous pipeline drain, so after
+        # a miss the next 8..64 (exponential) eligible steps skip the
+        # attempt entirely (ramp 2 -> 4 -> ... -> 64) — workloads with no
+        # lookup structure quickly converge to ~1/64th of the drain tax
+        # while repetitive ones keep the full speedup
+        self._spec_skip = 0
+        self._spec_backoff = 0
         # jit-key observability: every (dims, n_steps) this executor has
         # dispatched. A key appearing here mid-serving means a fresh XLA
         # compile (~10-25s stall on the tunnel) — the log line below is the
@@ -263,6 +271,21 @@ class FillExecutor:
             node = node.next
         return k
 
+    def spec_should_try(self) -> bool:
+        """Backoff gate — call LAST in the eligibility chain (it consumes
+        one skip credit per call)."""
+        if self._spec_skip > 0:
+            self._spec_skip -= 1
+            return False
+        return True
+
+    def _spec_miss(self) -> None:
+        self._spec_backoff = min(max(2, self._spec_backoff * 2), 64)
+        self._spec_skip = self._spec_backoff
+
+    def _spec_hit(self) -> None:
+        self._spec_backoff = 0
+
     def spec_precheck(self, batch: BatchRequest, k_draft: int) -> bool:
         """Cheap eligibility test (no proposer, no token state): lets the
         node avoid draining the async pipeline for batches that can never
@@ -310,6 +333,7 @@ class FillExecutor:
                                      ngram_n)
                   for rcb, _ in batch]
         if not any(drafts):
+            self._spec_miss()
             return None
         # per-request look-ahead blocks (only to each draft's own depth);
         # bail (don't shrink) under pressure
@@ -320,6 +344,7 @@ class FillExecutor:
             need += max(0, -(-target // bs)
                         - len(rcb.virtual_kv_cache.block_table))
         if need > self.kv.n_available_blocks():
+            self._spec_miss()          # pool pressure: back off too
             return None
         for (rcb, inst), draft in zip(batch, drafts):
             self.kv.realloc(rcb.virtual_kv_cache,
@@ -346,6 +371,7 @@ class FillExecutor:
         tok = raw[: S_pad * K1].reshape(S_pad, K1)[:len(drafts)]
         accs = raw[S_pad * K1:][:len(drafts)]
         self.spec_steps += 1
+        self._spec_hit()
         token_time = time.perf_counter()
         for i, (rcb, _) in enumerate(batch):
             acc = int(accs[i])

@@ -191,3 +191,29 @@ def test_spec_under_tensor_parallel():
     plain = run(0)
     tp_spec = run(3, devices=jax.devices()[:4])
     assert tp_spec == plain
+
+
+def test_spec_backoff_after_misses():
+    """A proposer miss (no n-gram hit anywhere in the batch) triggers an
+    exponential skip window (2 → 4 → ... → 64) so non-lookup workloads
+    stop paying the synchronous pipeline drain; a hit resets it."""
+    from hydrainfer_tpu.engine.executor import FillExecutor
+    fx = FillExecutor.__new__(FillExecutor)
+    fx._spec_skip = 0
+    fx._spec_backoff = 0
+    assert fx.spec_should_try()
+    fx._spec_miss()
+    assert [fx.spec_should_try() for _ in range(2)] == [False] * 2
+    assert fx.spec_should_try()          # credits exhausted
+    fx._spec_miss()
+    assert fx._spec_skip == 4            # exponential growth
+    for _ in range(4):
+        fx.spec_should_try()
+    for _ in range(8):
+        fx._spec_miss()
+    assert fx._spec_skip == 64           # capped
+    fx._spec_hit()
+    fx._spec_skip = 0
+    assert fx.spec_should_try()
+    fx._spec_miss()
+    assert fx._spec_skip == 2            # reset after a hit
