@@ -191,7 +191,8 @@ def main():
                     help="default = the BASELINE north-star architecture "
                          "(LLaVA-7B language tower); qwen2-vl-2b-lm is the "
                          "r1-r3 secondary line")
-    ap.add_argument("--n-requests", type=int, default=32)
+    ap.add_argument("--n-requests", type=int, default=48,
+                help="48 = the measured throughput-optimal batch at the 7B\n                     headline (b32: best roofline ratio; b64: TTFT 1s)")
     ap.add_argument("--prompt-len", type=int, default=128)
     ap.add_argument("--max-tokens", type=int, default=128)
     ap.add_argument("--token-budget", type=int, default=2048)
