@@ -106,6 +106,11 @@ class DecoderConfig:
     # "noaux_tc" (V3: sigmoid + learned bias, groups by top-2 sum) or
     # "group_limited_greedy" (V2: softmax, no bias, groups by max)
     moe_group_method: str = "noaux_tc"
+    # manual-SPMD tensor parallelism INSIDE a shard_map (PP v2's
+    # TP-in-stage): head counts in this cfg are already LOCAL shard counts
+    # and the row-parallel matmuls (o_proj, mlp down) psum their partial
+    # sums over this named axis. None = single-shard semantics.
+    tp_reduce_axis: Optional[str] = None
     # tensor-parallel mesh (set by shard_to): attention runs under shard_map
     # with q heads + cache kv-heads sharded over the 'tp' axis — the Pallas
     # ragged kernel cannot be GSPMD-partitioned, so the head axis is split
@@ -383,7 +388,10 @@ def _layer_body(x, cache, layer_id, lw, batch: LanguageModelBatch,
                                1.0 / (D ** 0.5), max_q, impl=cfg.attention_impl,
                                kv_scale=cfg.kv_scale,
                                pages_per_block=cfg.kv_pages_per_block)
-    x = x + qmatmul(attn.reshape(T, Hq * D), lw["o_proj"])
+    o = qmatmul(attn.reshape(T, Hq * D), lw["o_proj"])
+    if cfg.tp_reduce_axis:       # row-parallel o_proj: combine shard sums
+        o = jax.lax.psum(o, cfg.tp_reduce_axis)
+    x = x + o
 
     h = rms_norm(x, lw["post_norm"], cfg.rms_norm_eps)
     return x + _mlp(h, lw, cfg), cache
@@ -444,7 +452,10 @@ def _mlp(h: jax.Array, lw: dict, cfg: DecoderConfig) -> jax.Array:
         if "gate_up" in lw:  # shared experts alongside the routed ones
             out = out + qmatmul(silu_and_mul(qmatmul(h, lw["gate_up"])), lw["down"])
         return out
-    return qmatmul(silu_and_mul(qmatmul(h, lw["gate_up"])), lw["down"])
+    out = qmatmul(silu_and_mul(qmatmul(h, lw["gate_up"])), lw["down"])
+    if cfg.tp_reduce_axis:       # row-parallel down: combine shard sums
+        out = jax.lax.psum(out, cfg.tp_reduce_axis)
+    return out
 
 
 def decoder_forward(weights: dict, cache: jax.Array, batch: LanguageModelBatch,

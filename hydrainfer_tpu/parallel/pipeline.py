@@ -54,27 +54,107 @@ def _layer_axis_spec(x):
     return P(*(("pp",) + (None,) * (x.ndim - 1)))
 
 
+# ---- TP inside stages (PP v2) ----
+#
+# Under shard_map the stage runs MANUAL SPMD: each tp shard must hold its
+# own q/k/v (and gate/up) head columns CONTIGUOUSLY, so the packed
+# projections are column-permuted from [q|k|v] global layout to
+# [q_0|k_0|v_0 | q_1|k_1|v_1 | ...] before contiguous 'tp' sharding — the
+# GSPMD TP path (parallel/mesh.py) doesn't need this because XLA partitions
+# the LOGICAL concat axis, but shard_map hands the raw local slice to the
+# layer body.
+
+def _tp_permute_cols(arr, tp: int, sizes):
+    """Permute the LAST axis of a packed projection (stacked or not) so
+    contiguous tp shards each hold [seg0_s | seg1_s | ...]."""
+    bounds = []
+    acc = 0
+    for s in sizes[:-1]:
+        acc += s
+        bounds.append(acc)
+    parts = jnp.split(arr, bounds, axis=-1)
+    out = []
+    for s in range(tp):
+        for p, size in zip(parts, sizes):
+            w = size // tp
+            out.append(jax.lax.slice_in_dim(p, s * w, (s + 1) * w, axis=-1))
+    return jnp.concatenate(out, axis=-1)
+
+
+def _stack_spec(key: str, x, tp: int):
+    """PartitionSpec for one stacked stage weight: layer axis on 'pp',
+    plus megatron TP on 'tp' (column-parallel qkv/gate_up, row-parallel
+    o_proj/down) when tp > 1."""
+    if tp > 1:
+        if key in ("qkv_proj", "gate_up"):
+            return P(*(("pp",) + (None,) * (x.ndim - 2) + ("tp",)))
+        if key == "qkv_bias":
+            return P("pp", "tp")
+        if key in ("o_proj", "down"):
+            return P(*(("pp", "tp") + (None,) * (x.ndim - 2)))
+    return _layer_axis_spec(x)
+
+
+def pp_tp_pack_weights(weights: dict, pp: int, tp: int,
+                       cfg: DecoderConfig) -> dict:
+    """pp_pack_weights + the TP column permutation of packed projections.
+    bf16/f32 weights only (quantized (w, scale) stacks would need their
+    scale columns permuted in lockstep — not implemented)."""
+    wpp = pp_pack_weights(weights, pp)
+    if tp <= 1:
+        return wpp
+    D, Hq, Hkv = cfg.head_dim, cfg.n_qo_heads, cfg.n_kv_heads
+    assert Hq % tp == 0 and Hkv % tp == 0, (Hq, Hkv, tp)
+    st = dict(wpp["stack"])
+    for k in ("qkv_proj", "qkv_bias", "gate_up"):
+        if k in st and not isinstance(st[k], jax.Array):
+            raise NotImplementedError(
+                f"TP-in-stage with quantized {k} (w, scale) stacks")
+    st["qkv_proj"] = _tp_permute_cols(st["qkv_proj"], tp,
+                                      [Hq * D, Hkv * D, Hkv * D])
+    if "qkv_bias" in st:
+        st["qkv_bias"] = _tp_permute_cols(st["qkv_bias"], tp,
+                                          [Hq * D, Hkv * D, Hkv * D])
+    half = st["gate_up"].shape[-1] // 2
+    st["gate_up"] = _tp_permute_cols(st["gate_up"], tp, [half, half])
+    return {**wpp, "stack": st}
+
+
 def pp_shard_weights(weights_pp: dict, mesh: Mesh) -> dict:
-    """Layer stacks sharded on 'pp' (stage s holds its L/P layer slices);
+    """Layer stacks sharded on 'pp' (stage s holds its L/P layer slices),
+    plus megatron 'tp' inside the stage when the mesh has one;
     embed/norm/lm_head replicated."""
     rep = NamedSharding(mesh, P())
+    tp = mesh.shape.get("tp", 1)
 
-    def stage_put(x):
-        return jax.device_put(x, NamedSharding(mesh, _layer_axis_spec(x)))
+    def stage_put(key, x):
+        return jax.device_put(x, NamedSharding(mesh, _stack_spec(key, x, tp)))
 
     return {
         "embed": jax.device_put(weights_pp["embed"], rep),
         "norm": jax.device_put(weights_pp["norm"], rep),
         "lm_head": jax.device_put(weights_pp["lm_head"], rep),
-        "stack": jax.tree_util.tree_map(stage_put, weights_pp["stack"]),
+        "stack": {k: jax.tree_util.tree_map(
+            lambda x, k=k: stage_put(k, x), v)
+            for k, v in weights_pp["stack"].items()},
     }
+
+
+def _cache_spec(cache, mesh: Mesh):
+    tp = mesh.shape.get("tp", 1)
+    if tp > 1:
+        # (L, n_tensors, nb, bs, COMBINED_HEADS, d): layers on 'pp',
+        # kv heads on 'tp' — each device holds its stage's layers AND its
+        # head shard of their pages
+        return P("pp", None, None, None, "tp", None)
+    return _layer_axis_spec(cache)
 
 
 def pp_shard_cache(cache: jax.Array, mesh: Mesh) -> jax.Array:
     """(L, n_tensors, nb, bs, h, d) paged cache with the layer axis sharded
-    over 'pp' — each stage physically holds only its own layers' pages."""
+    over 'pp' (and kv heads over 'tp' when the mesh has one)."""
     return jax.device_put(
-        cache, NamedSharding(mesh, _layer_axis_spec(cache)))
+        cache, NamedSharding(mesh, _cache_spec(cache, mesh)))
 
 
 def decoder_forward_pp(weights_pp: dict, cache: jax.Array,
@@ -101,9 +181,15 @@ def decoder_forward_pp(weights_pp: dict, cache: jax.Array,
     else:
         cos = jnp.take(cos_tab, batch.positions, axis=0)
         sin = jnp.take(sin_tab, batch.positions, axis=0)
-    # stage-local attention must not re-enter the tp shard_map path
+    # stage-local attention must not re-enter the tp shard_map path; with
+    # TP inside the stage the cfg's head counts become the LOCAL shard
+    # counts and o_proj/down psum over 'tp' (models/decoder.py)
     import dataclasses
-    cfg_local = dataclasses.replace(cfg, mesh=None)
+    tp = mesh.shape.get("tp", 1)
+    cfg_local = dataclasses.replace(
+        cfg, mesh=None,
+        n_qo_heads=cfg.n_qo_heads // tp, n_kv_heads=cfg.n_kv_heads // tp,
+        tp_reduce_axis="tp" if tp > 1 else None)
 
     def local(stack, cache, batch, tt, embed, norm, lm_head, cos, sin):
         sid = jax.lax.axis_index("pp")          # stack/cache: (L/P, ...)
@@ -150,9 +236,10 @@ def decoder_forward_pp(weights_pp: dict, cache: jax.Array,
         return cache, tt, tokens
 
     rep = jax.tree_util.tree_map(lambda _: P(), batch)
-    stack_specs = jax.tree_util.tree_map(_layer_axis_spec,
-                                         weights_pp["stack"])
-    cache_spec = _layer_axis_spec(cache)
+    stack_specs = {k: jax.tree_util.tree_map(
+        lambda x, k=k: _stack_spec(k, x, tp), v)
+        for k, v in weights_pp["stack"].items()}
+    cache_spec = _cache_spec(cache, mesh)
     out = shard_map(
         local, mesh=mesh,
         in_specs=(stack_specs, cache_spec, rep, P(), P(), P(), P(), P(), P()),
@@ -202,7 +289,11 @@ def decoder_forward_pp_decode(weights_pp: dict, cache: jax.Array,
         sin_all = jnp.take(sin_tab, batch.positions, axis=0)
 
     import dataclasses
-    cfg_local = dataclasses.replace(cfg, mesh=None)
+    tp = mesh.shape.get("tp", 1)
+    cfg_local = dataclasses.replace(
+        cfg, mesh=None,
+        n_qo_heads=cfg.n_qo_heads // tp, n_kv_heads=cfg.n_kv_heads // tp,
+        tp_reduce_axis="tp" if tp > 1 else None)
 
     def local(stack, cache, batch, tt, embed, norm, lm_head, cos_all, sin_all):
         sid = jax.lax.axis_index("pp")
@@ -295,9 +386,10 @@ def decoder_forward_pp_decode(weights_pp: dict, cache: jax.Array,
         return cache, tt, tokens
 
     rep = jax.tree_util.tree_map(lambda _: P(), batch)
-    stack_specs = jax.tree_util.tree_map(_layer_axis_spec,
-                                         weights_pp["stack"])
-    cache_spec = _layer_axis_spec(cache)
+    stack_specs = {k: jax.tree_util.tree_map(
+        lambda x, k=k: _stack_spec(k, x, tp), v)
+        for k, v in weights_pp["stack"].items()}
+    cache_spec = _cache_spec(cache, mesh)
     return shard_map(
         local, mesh=mesh,
         in_specs=(stack_specs, cache_spec, rep, P(), P(), P(), P(), P(), P()),

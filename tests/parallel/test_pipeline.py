@@ -290,3 +290,98 @@ def test_pp_microbatched_decode_matches_single():
     assert np.array_equal(np.asarray(table_ref), np.asarray(table_pp))
     np.testing.assert_allclose(np.asarray(cache_out), np.asarray(cache_ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_pp_tp_forward_matches_single_device():
+    """PP v2: TP inside each stage — a (pp=2, tp=4) mesh where every stage
+    also megatron-shards its layers' heads/ffn, with the packed q|k|v and
+    gate|up columns permuted to the per-shard layout and o_proj/down psums
+    over 'tp'. Token + cache parity vs the single-device forward."""
+    from hydrainfer_tpu.parallel.pipeline import (pp_shard_cache,
+                                                  pp_shard_weights,
+                                                  pp_tp_pack_weights)
+    cfg = make_cfg(n_layers=4)     # 4 q heads / 2 kv heads — tp=2 divides
+    raw = init_decoder_weights(cfg, jax.random.PRNGKey(2), jnp.float32)
+    cos, sin = init_rope_tables(cfg)
+    batch = make_batch()
+    cache = jnp.zeros((cfg.n_layers, 1, N_BLOCKS, BLOCK,
+                       2 * cfg.n_kv_heads, cfg.head_dim), jnp.float32)
+    table = jnp.zeros((8,), jnp.int32)
+
+    cache_ref, table_ref, tok_ref = decoder_forward(
+        pack_decoder_weights(raw), cache, batch, cos, sin, cfg, max_q=8,
+        token_table=table)
+
+    mesh = make_mesh(8, axis_names=("dp", "pp", "tp"), shape=(2, 2, 2))
+    w_pp = pp_shard_weights(pp_tp_pack_weights(raw, pp=2, tp=2, cfg=cfg),
+                            mesh)
+    cache_pp = pp_shard_cache(cache, mesh)
+    assert not cache_pp.sharding.is_fully_replicated
+    step = jax.jit(decoder_forward_pp,
+                   static_argnames=("cfg", "max_q", "mesh"))
+    cache_out, table_pp, tok_pp = step(
+        w_pp, cache_pp, batch, cos, sin, cfg, max_q=8, token_table=table,
+        mesh=mesh)
+
+    assert np.array_equal(np.asarray(tok_ref), np.asarray(tok_pp))
+    assert np.array_equal(np.asarray(table_ref), np.asarray(table_pp))
+    np.testing.assert_allclose(
+        np.asarray(cache_out).reshape(np.asarray(cache_ref).shape),
+        np.asarray(cache_ref), rtol=1e-5, atol=1e-5)
+
+
+def test_pp_tp_microbatched_decode_matches():
+    """The GPipe microbatch decode schedule under TP-in-stage."""
+    from hydrainfer_tpu.parallel.pipeline import (decoder_forward_pp_decode,
+                                                  pp_shard_cache,
+                                                  pp_shard_weights,
+                                                  pp_tp_pack_weights)
+    cfg = make_cfg(n_layers=4)
+    raw = init_decoder_weights(cfg, jax.random.PRNGKey(3), jnp.float32)
+    cos, sin = init_rope_tables(cfg)
+
+    # pure-decode batch: 4 seqs, one token each, mid-context
+    S = 4
+    kv_lens = np.array([5, 6, 7, 8], np.int32)
+    tables = np.stack([np.arange(2 * s, 2 * s + 2, dtype=np.int32)
+                       for s in range(S)])
+    positions = kv_lens - 1
+    slots = (tables[np.arange(S), positions // BLOCK] * BLOCK
+             + positions % BLOCK).astype(np.int32)
+    batch = LanguageModelBatch(
+        token_ids=jnp.asarray(np.arange(S, dtype=np.int32) + 3),
+        positions=jnp.asarray(positions),
+        image_features=jnp.zeros((0, 64), jnp.float32),
+        image_dst_idx=jnp.zeros((0,), jnp.int32),
+        attention=PagedAttentionParams(
+            q_seq_ids=jnp.arange(S, dtype=jnp.int32),
+            q_local_ids=jnp.zeros(S, jnp.int32),
+            positions=jnp.asarray(positions),
+            kv_lens=jnp.asarray(kv_lens),
+            block_tables=jnp.asarray(tables),
+            new_kv_slot_ids=jnp.asarray(slots),
+            cu_q_lens=jnp.arange(S + 1, dtype=jnp.int32),
+            num_seqs=jnp.asarray([S], jnp.int32)),
+        sample_token_idx=jnp.arange(S, dtype=jnp.int32),
+        token_src_slots=jnp.full((S,), -1, jnp.int32),
+        sample_dst_slots=jnp.arange(S, dtype=jnp.int32))
+    rng = np.random.default_rng(0)
+    cache = jnp.asarray(rng.standard_normal(
+        (cfg.n_layers, 1, N_BLOCKS, BLOCK, 2 * cfg.n_kv_heads,
+         cfg.head_dim)).astype(np.float32) * 0.1)
+    table = jnp.zeros((8,), jnp.int32)
+
+    _, table_ref, tok_ref = decoder_forward(
+        pack_decoder_weights(raw), cache, batch, cos, sin, cfg, max_q=1,
+        token_table=table)
+
+    mesh = make_mesh(8, axis_names=("dp", "pp", "tp"), shape=(2, 2, 2))
+    w_pp = pp_shard_weights(pp_tp_pack_weights(raw, pp=2, tp=2, cfg=cfg),
+                            mesh)
+    cache_pp = pp_shard_cache(cache, mesh)
+    step = jax.jit(decoder_forward_pp_decode,
+                   static_argnames=("cfg", "mesh", "n_micro"))
+    _, table_pp, tok_pp = step(w_pp, cache_pp, batch, cos, sin, cfg,
+                               token_table=table, mesh=mesh, n_micro=2)
+    assert np.array_equal(np.asarray(tok_ref), np.asarray(tok_pp))
+    assert np.array_equal(np.asarray(table_ref), np.asarray(table_pp))
