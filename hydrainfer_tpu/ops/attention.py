@@ -361,8 +361,10 @@ def paged_attention(q: jax.Array, cache: jax.Array, layer_id,
                         "kernel (first occurrence only): %s", e)
     if impl == "mha_decode":
         # forced but this batch is not an all-decode window (prefill /
-        # mixed): the upstream ragged kernel serves those
-        impl = "ragged"
+        # mixed) or the shape is unsupported: continue down the normal
+        # chain (ragged with jnp fallback), NOT forced-ragged — a forced
+        # ragged would re-raise off-TPU instead of falling back
+        impl = "auto"
     if impl in ("auto", "ragged", "pallas"):
         try:
             if impl == "auto" and jax.default_backend() != "tpu":

@@ -107,3 +107,29 @@ def test_supports_gate():
     assert supports(40, 40, 128, jnp.int8)
     assert supports(40, 40, 128, jnp.bfloat16)
     assert not supports(12, 12, 128, jnp.int8)       # H % 8 != 0
+
+
+def test_dispatcher_forced_mha_decode_and_prefill_fallback():
+    """impl="mha_decode" through the paged_attention dispatcher: decode
+    batches run the kernel (interpret off-TPU), mixed/prefill batches fall
+    through to the ragged→jnp chain — same numbers either way."""
+    from hydrainfer_tpu.ops.attention import paged_attention
+
+    rng = np.random.default_rng(7)
+    # all-decode window (max_q == 1) → the kernel path
+    q, cache, params, expected = build_case(rng, [(1, 6), (1, 9)],
+                                            H=4, KVH=4)
+    out = paged_attention(jnp.asarray(q), jnp.asarray(cache), 0, params,
+                          1.0 / np.sqrt(q.shape[-1]), max_q=1,
+                          impl="mha_decode")
+    np.testing.assert_allclose(np.asarray(out)[:2], expected,
+                               rtol=2e-4, atol=2e-4)
+
+    # prefill batch (max_q > 1) → falls through to the oracle chain
+    q2, cache2, params2, expected2 = build_case(rng, [(5, 5), (1, 8)],
+                                                H=4, KVH=4)
+    out2 = paged_attention(jnp.asarray(q2), jnp.asarray(cache2), 0, params2,
+                           1.0 / np.sqrt(q2.shape[-1]), max_q=5,
+                           impl="mha_decode")
+    np.testing.assert_allclose(np.asarray(out2)[: expected2.shape[0]],
+                               expected2, rtol=2e-4, atol=2e-4)
