@@ -677,7 +677,16 @@ class ProcessCluster:
                     f"(attempt {h.respawns}/{self.config.max_respawns})")
         try:
             if h.proc is not None:
-                h.proc.join(timeout=1.0)
+                # a node marked dead on ping strikes may still be RUNNING
+                # (hung, not exited) — holding the TPU devices and the
+                # token-push socket the replacement needs. Escalate:
+                # terminate → join → kill → join before spawning anew.
+                if h.proc.is_alive():
+                    h.proc.terminate()
+                h.proc.join(timeout=5.0)
+                if h.proc.is_alive():
+                    h.proc.kill()
+                    h.proc.join(timeout=5.0)
             boot = dataclasses.replace(
                 h.boot, rpc_port=find_free_port())   # old port may linger
             ctx = multiprocessing.get_context("spawn")

@@ -450,7 +450,10 @@ def _mlp(h: jax.Array, lw: dict, cfg: DecoderConfig) -> jax.Array:
         else:
             out = moe_ffn(h, lw["moe_gate_up"], lw["moe_down"], weights, idx)
         if "gate_up" in lw:  # shared experts alongside the routed ones
-            out = out + qmatmul(silu_and_mul(qmatmul(h, lw["gate_up"])), lw["down"])
+            shared = qmatmul(silu_and_mul(qmatmul(h, lw["gate_up"])), lw["down"])
+            if cfg.tp_reduce_axis:  # pp×tp shards gate_up/down: partial sums
+                shared = jax.lax.psum(shared, cfg.tp_reduce_axis)
+            out = out + shared
         return out
     out = qmatmul(silu_and_mul(qmatmul(h, lw["gate_up"])), lw["down"])
     if cfg.tp_reduce_axis:       # row-parallel down: combine shard sums

@@ -218,8 +218,13 @@ def paged_attention_mha_decode(q: jax.Array, cache: jax.Array, layer_id,
     perm = decode_head_perm(q.shape[1], kv_pages.dtype)
     if perm is not None:
         q = q[:, perm, :]
+    # kernel invariant: every LIVE row has kv_len >= 1 (a zero-len live row
+    # would skip its block loop and deadlock the next row's DMA waits).
+    # Decode rows always attend at least their own token; clamp so padding
+    # rows (len 0, never processed) can't trip it either.
+    kv_lens = jnp.maximum(params.kv_lens, 1)
     out = mha_decode_attention(
-        q, kv_pages, params.kv_lens, jnp.maximum(params.block_tables, 0),
+        q, kv_pages, kv_lens, jnp.maximum(params.block_tables, 0),
         params.num_seqs, sm_scale=sm_scale,
         k_scale=kv_scale, v_scale=kv_scale,
         num_kv_pages_per_block=pages_per_block, interpret=interpret)

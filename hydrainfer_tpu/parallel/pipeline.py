@@ -106,7 +106,10 @@ def pp_tp_pack_weights(weights: dict, pp: int, tp: int,
     D, Hq, Hkv = cfg.head_dim, cfg.n_qo_heads, cfg.n_kv_heads
     assert Hq % tp == 0 and Hkv % tp == 0, (Hq, Hkv, tp)
     st = dict(wpp["stack"])
-    for k in ("qkv_proj", "qkv_bias", "gate_up"):
+    # every tp-sharded stack key must be guarded: _stack_spec would shard a
+    # quantized (w, scale) tuple's scale leaf with the weight's spec,
+    # silently mis-sharding it (o_proj/down row shards included)
+    for k in ("qkv_proj", "qkv_bias", "gate_up", "o_proj", "down"):
         if k in st and not isinstance(st[k], jax.Array):
             raise NotImplementedError(
                 f"TP-in-stage with quantized {k} (w, scale) stacks")
