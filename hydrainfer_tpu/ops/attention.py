@@ -209,13 +209,14 @@ def paged_attention_mha_decode(q: jax.Array, cache: jax.Array, layer_id,
                                kv_scale: Optional[float] = None,
                                pages_per_block: Optional[int] = None,
                                interpret: bool = False) -> jax.Array:
-    """Builder decode-MHA kernel (ops/pallas/mha_decode.py): all-decode
-    windows where every sequence has ONE query token (row i = seq i — the
-    params builder emits decode rows in sequence order). q is permuted to
-    the kernel's bulk-extraction head order and the output unpermuted."""
-    from .pallas.mha_decode import decode_head_perm, mha_decode_attention
+    """Builder decode kernel (ops/pallas/mha_decode.py, MHA + GQA):
+    all-decode windows where every sequence has ONE query token (row i =
+    seq i — the params builder emits decode rows in sequence order). q is
+    permuted to the kernel's bulk-extraction head order (q heads move in
+    blocks of Hq/Hkv with their kv head) and the output unpermuted."""
+    from .pallas.mha_decode import decode_q_perm, mha_decode_attention
     kv_pages = cache[layer_id, 0]
-    perm = decode_head_perm(q.shape[1], kv_pages.dtype)
+    perm = decode_q_perm(q.shape[1], kv_pages.shape[-2] // 2, kv_pages.dtype)
     if perm is not None:
         q = q[:, perm, :]
     # kernel invariant: every LIVE row has kv_len >= 1 (a zero-len live row
@@ -340,14 +341,22 @@ def paged_attention(q: jax.Array, cache: jax.Array, layer_id,
             q, cache, layer_id, params, sm_scale,
             k_scale=kv_scale, v_scale=kv_scale,
             interpret=jax.default_backend() != "tpu")
-    # all-decode MHA window (max_q == 1, ratio == 1): the builder decode
-    # kernel vectorizes over kv heads — the upstream kernel's unrolled
-    # per-head loop costs ~8 ms/step at the llava-7b shape (PERF_NOTES r4)
+    # all-decode window (max_q == 1): the builder decode kernel vectorizes
+    # over kv heads and DMAs each sequence's pages once for ALL heads —
+    # the upstream kernel's unrolled per-head loop costs ~8 ms/step at the
+    # llava-7b MHA shape (PERF_NOTES r4). AUTO dispatches it at MHA
+    # (ratio == 1) only: at GQA shapes the upstream kernel's per-kv-head
+    # q tiles are dense and it measured 1.14x FASTER than this kernel
+    # (qwen2-vl-2b engine A/B, PERF_NOTES r5) — impl="mha_decode" can
+    # still force the GQA form (exact on chip; the capability exists for
+    # combined-head shapes the upstream kernel rejects).
     if impl in ("auto", "mha_decode") and max_q == 1:
         from .pallas import mha_decode as _mhad
-        if _mhad.supports(q.shape[1], cache.shape[-2] // 2, q.shape[-1],
-                          cache.dtype) and os.environ.get(
-                              "HYDRAINFER_MHA_DECODE", "1") != "0":
+        if (_mhad.supports(q.shape[1], cache.shape[-2] // 2, q.shape[-1],
+                           cache.dtype)
+                and (impl == "mha_decode"
+                     or q.shape[1] == cache.shape[-2] // 2)
+                and os.environ.get("HYDRAINFER_MHA_DECODE", "1") != "0"):
             try:
                 if impl == "auto" and jax.default_backend() != "tpu":
                     raise ImportError("mha decode auto-path is TPU-only")

@@ -1,4 +1,4 @@
-"""Decode-specialized paged attention for MHA (ratio == 1) caches.
+"""Decode-specialized paged attention (MHA and GQA).
 
 Why this kernel exists: the upstream ragged kernel walks, per sequence, an
 UNROLLED loop over kv heads — each iteration a strided per-head extraction
@@ -9,20 +9,26 @@ vicuna shape) the measured cost is ~8 ms/step at b32 where the ideal KV
 read is 1.9 ms (PERF_NOTES round 4): fixed per-(seq, head) work dominates.
 
 This kernel flips the layout: one query TOKEN per sequence (the decode
-contract) means each sequence's queries form a dense (H, D) tile. Pages
+contract) means each sequence's queries form a dense (Hq, D) tile. Pages
 are DMA'd ONCE per sequence for ALL heads, K/V are extracted from the
 interleaved combined-head pages in BULK (one byte-lane shift per packed
-word, not per head), and scores/weighted-sum run vectorized over all H
-heads on the VPU:
+word, not per head), and scores/weighted-sum run vectorized over all Hq
+heads:
 
-    scores[n, h] = sum_d K[n, h, d] * q[h, d]        (N, H)
-    out[h, d]    = sum_n softmax(scores)[n, h] * V[n, h, d]
+    scores[n, j] = sum_d K[n, j // R, d] * q[j, d]   (N, Hq), R = Hq/Hkv
+    out[j, d]    = sum_n softmax(scores)[n, j] * V[n, j // R, d]
+
+GQA (R > 1) reuses the same diag-trick matmuls with the δ(h, h') selector
+widened to the block-repeat mask δ(h, j // R): each kv row's score/PV
+matmul column block covers its R query heads. At R == 1 the mask IS the
+identity and the kernel is the original MHA form.
 
 Head order: byte-lane extraction of int8/fp8 yields kv heads in the order
 [0, 2, .., H-2, 1, 3, .., H-1] (K lives at even combined indices; words
 pack 4 combined rows). Rather than reshuffle K/V inside the kernel, the
-CALLER permutes q to match and inverse-permutes the output
-(`decode_head_perm`) — attention is permutation-equivariant over heads.
+CALLER permutes q to match — q heads move in blocks of R with their kv
+head (`decode_q_perm`) — and inverse-permutes the output; attention is
+permutation-equivariant over heads.
 
 Functional scope: the all-decode fused-window batches the engine spends
 its life in (reference's decode path: hydrainfer/layer/causal_attention.py
@@ -57,24 +63,37 @@ def decode_head_perm(n_kv_heads: int, kv_dtype) -> np.ndarray | None:
     return None                                  # bf16 / f32: in order
 
 
+def decode_q_perm(n_q_heads: int, n_kv_heads: int, kv_dtype
+                  ) -> np.ndarray | None:
+    """Query-head permutation matching `decode_head_perm`: q heads move in
+    blocks of R = Hq/Hkv with their kv head. None = identity."""
+    kvp = decode_head_perm(n_kv_heads, kv_dtype)
+    if kvp is None:
+        return None
+    r = n_q_heads // n_kv_heads
+    return (kvp[:, None] * r + np.arange(r)[None, :]).reshape(-1)
+
+
 def supports(n_q_heads, n_kv_heads, head_dim, kv_dtype) -> bool:
     """Static dispatch gate (the adapter also requires max_q == 1)."""
-    if n_q_heads != n_kv_heads:                  # MHA only (ratio == 1)
+    if n_kv_heads <= 0 or n_q_heads % n_kv_heads:   # MHA or uniform GQA
         return False
     if head_dim % 128:
         return False
     pack = _packing(jnp.dtype(kv_dtype))
     if pack == 4:
-        # extraction reshapes (N*H/2, D) bf16 → (N, H/2, D). Verified on
-        # hardware for H/2 ∈ {16, 20}: non-sublane-aligned split factors
-        # lower correctly (numerics exact vs the oracle) at reduced speed —
-        # still 2.4x the jnp-oracle fallback at H=40, where the upstream
-        # kernel REJECTS the shape outright ("num_combined_kv_heads=80 can
-        # not be XLA fully tiled") — the llava-NeXT-13B int8-KV case.
-        return n_kv_heads % 8 == 0
-    if pack == 2:
-        return n_kv_heads % 8 == 0
-    return n_kv_heads % 8 == 0                   # f32: plain strided loads
+        # byte-lane extraction splits kv heads into even/odd groups —
+        # needs an even count. Extraction reshapes (N*Hkv/2, D) bf16 →
+        # (N, Hkv/2, D): verified on hardware for Hkv/2 ∈ {16, 20} —
+        # non-sublane-aligned split factors lower correctly (numerics
+        # exact vs the oracle) at reduced speed, still 2.4x the jnp-oracle
+        # fallback at Hkv=40 where the upstream kernel REJECTS the shape
+        # ("num_combined_kv_heads=80 can not be XLA fully tiled") — the
+        # llava-NeXT-13B int8-KV case. GQA kv-head counts (2, 4, 8) are
+        # covered by the same lowering; the auto dispatch path catches a
+        # Mosaic rejection and falls back to the upstream kernel.
+        return n_kv_heads % 2 == 0
+    return True                       # bf16 word-split / f32 strided loads
 
 
 def _extract_kv_groups(buf, n_tok, ckv, head_dim, plain_loads):
@@ -146,13 +165,17 @@ def _mha_decode_kernel(
     # interpret mode); MXU operands must match it
     cd = (jnp.float32 if plain_loads and kv_bufs.dtype == jnp.float32
           else jnp.bfloat16)
-    n_groups = 2 if decode_head_perm(ckv // 2, kv_bufs.dtype) is not None \
+    n_kv_heads = ckv // 2
+    ratio = n_heads // n_kv_heads                # GQA group size R (1 = MHA)
+    n_groups = 2 if decode_head_perm(n_kv_heads, kv_bufs.dtype) is not None \
         else 1
-    hg = n_heads // n_groups
-    # δ(h', h) selector for the diag-extract / p-expand matmul tricks
-    eye_hg = (lax.broadcasted_iota(jnp.int32, (hg, hg), 0)
-              == lax.broadcasted_iota(jnp.int32, (hg, hg), 1)
-              ).astype(jnp.float32)
+    hg_kv = n_kv_heads // n_groups               # kv heads per group
+    hq_g = hg_kv * ratio                         # q heads per group
+    # δ(h, j // R) selector for the diag-extract / p-expand matmul tricks
+    # (identity when R == 1 — the original MHA diag trick)
+    sel = (lax.broadcasted_iota(jnp.int32, (hg_kv, hq_g), 0)
+           == lax.broadcasted_iota(jnp.int32, (hg_kv, hq_g), 1) // ratio
+           ).astype(jnp.float32)
 
     def copies_for(seq_idx, kv_blk_idx, buf_idx):
         copies = []
@@ -221,24 +244,25 @@ def _mha_decode_kernel(
                 m_d = sum(jnp.sum(k, axis=0) + jnp.sum(v, axis=0)
                           for k, v in groups).astype(jnp.float32)
                 return (kv_blk_idx + 1, nxt_buf, m_prev,
-                        l_prev, acc + jnp.concatenate([m_d] * len(groups),
-                                                      axis=0))
+                        l_prev, acc + jnp.concatenate(
+                            [m_d] * (len(groups) * ratio), axis=0))
 
             # scores on the MXU via the diag trick: K2 (N·Hg, D) @ q_g
             # contracts d for EVERY (token-head, q-head) pair; row n·Hg+h
-            # only needs column h, extracted with the δ-mask (a VPU
-            # lane-reduce over d here instead costs ~17 µs/block — the
-            # dominant term of the first kernel revision, PERF_NOTES r4)
+            # only needs the R columns of kv head h's query group,
+            # extracted with the δ-mask (a VPU lane-reduce over d here
+            # instead costs ~17 µs/block — the dominant term of the first
+            # kernel revision, PERF_NOTES r4)
             N = kv_per_blk
             s_parts = []
             for g, (k, _) in enumerate(groups):
-                q_g = lax.slice_in_dim(qf, g * hg, (g + 1) * hg, axis=0)
+                q_g = lax.slice_in_dim(qf, g * hq_g, (g + 1) * hq_g, axis=0)
                 sg_all = lax.dot_general(
-                    k.reshape(N * hg, head_dim), q_g,
+                    k.reshape(N * hg_kv, head_dim), q_g,
                     (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)      # (N·Hg, Hg)
-                s_parts.append((sg_all.reshape(N, hg, hg)
-                                * eye_hg[None]).sum(-1))      # (N, Hg)
+                    preferred_element_type=jnp.float32)      # (N·Hg, Hq_g)
+                s_parts.append((sg_all.reshape(N, hg_kv, hq_g)
+                                * sel[None]).sum(1))          # (N, Hq_g)
             s = jnp.concatenate(s_parts, axis=1) if n_groups > 1 \
                 else s_parts[0]                               # (N, H)
             n_live = kv_len - kv_blk_idx * kv_per_blk
@@ -255,13 +279,14 @@ def _mha_decode_kernel(
             # axis against V2 (N·Hg, D) in one matmul per group
             pv_parts = []
             for g, (_, v) in enumerate(groups):
-                p_g = lax.slice_in_dim(p, g * hg, (g + 1) * hg, axis=1)
+                p_g = lax.slice_in_dim(p, g * hq_g, (g + 1) * hq_g, axis=1)
                 p_sel = (jnp.expand_dims(p_g, 1)
-                         * eye_hg[None]).astype(cd)           # (N, Hg, Hg)
+                         * sel[None]).astype(cd)              # (N, Hg, Hq_g)
                 pv_parts.append(lax.dot_general(
-                    p_sel.reshape(N * hg, hg), v.reshape(N * hg, head_dim),
+                    p_sel.reshape(N * hg_kv, hq_g),
+                    v.reshape(N * hg_kv, head_dim),
                     (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32))      # (Hg, D)
+                    preferred_element_type=jnp.float32))      # (Hq_g, D)
             pv = jnp.concatenate(pv_parts, axis=0) if n_groups > 1 \
                 else pv_parts[0]                              # (H, D)
             acc = acc * alpha.reshape(n_heads, 1) + pv
@@ -305,7 +330,7 @@ def mha_decode_attention(
 ):
     T, n_heads, head_dim = q.shape
     nb, page_size, ckv, hd = kv_pages.shape
-    assert hd == head_dim and ckv == 2 * n_heads
+    assert hd == head_dim and ckv % 2 == 0 and n_heads % (ckv // 2) == 0
     s, pages_per_seq = page_indices.shape
     assert kv_lens.shape == (s,)
 

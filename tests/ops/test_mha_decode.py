@@ -11,7 +11,8 @@ import pytest
 
 from hydrainfer_tpu.ops.attention import (paged_attention_jnp,
                                           paged_attention_mha_decode)
-from hydrainfer_tpu.ops.pallas.mha_decode import decode_head_perm, supports
+from hydrainfer_tpu.ops.pallas.mha_decode import (decode_head_perm,
+                                                  decode_q_perm, supports)
 from tests.ops.test_paged_attention import build_case
 
 
@@ -88,25 +89,66 @@ def test_int8_kv_with_scale_and_perm():
                                rtol=1e-2, atol=1e-2)
 
 
+@pytest.mark.parametrize("seq_specs", [
+    [(1, 1)],
+    [(1, 4), (1, 7), (1, 12)],
+    [(1, 37), (1, 21)],              # multi kv block online softmax
+])
+@pytest.mark.parametrize("H,KVH", [(12, 2), (28, 4), (8, 8)])
+def test_vs_oracle_gqa(seq_specs, H, KVH):
+    rng = np.random.default_rng(5)
+    q, cache, params, expected = build_case(rng, seq_specs, H=H, KVH=KVH)
+    out = run(q, cache, params, pp=2)
+    np.testing.assert_allclose(out[: expected.shape[0]], expected,
+                               rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("H,KVH", [(12, 2), (28, 4)])
+def test_int8_kv_gqa_with_scale_and_perm(H, KVH):
+    """GQA int8 cache: even/odd kv-head groups with q heads moving in
+    blocks of R — the qwen2-vl-2b (12/2) and qwen2-7b (28/4) shapes."""
+    rng = np.random.default_rng(6)
+    q, cache, params, _ = build_case(rng, [(1, 7), (1, 11), (1, 19)],
+                                     H=H, KVH=KVH)
+    scale = 0.05
+    cache_q = np.clip(np.round(cache / scale), -127, 127).astype(np.int8)
+    ref = paged_attention_jnp(
+        jnp.asarray(q), jnp.asarray(cache_q), 0, params,
+        1.0 / np.sqrt(q.shape[-1]), max_q=1, kv_scale=scale)
+    out = run(q, cache_q.astype(np.float32), params, kv_scale=scale)
+    np.testing.assert_allclose(out[:3], np.asarray(ref)[:3],
+                               rtol=1e-2, atol=1e-2)
+
+
 def test_head_perm_roundtrip():
     perm = decode_head_perm(32, jnp.int8)
     assert perm is not None
     assert sorted(perm.tolist()) == list(range(32))
     assert np.all(perm.argsort()[perm] == np.arange(32))
     assert decode_head_perm(32, jnp.bfloat16) is None
+    # GQA q-head perm: q heads move in blocks of R with their kv head
+    qperm = decode_q_perm(12, 2, jnp.int8)
+    assert qperm is not None and sorted(qperm.tolist()) == list(range(12))
+    kvp = decode_head_perm(2, jnp.int8)
+    assert np.array_equal(qperm.reshape(2, 6) // 6, kvp[:, None].repeat(6, 1))
+    assert decode_q_perm(12, 2, jnp.bfloat16) is None
 
 
 def test_supports_gate():
     assert supports(32, 32, 128, jnp.int8)
     assert supports(32, 32, 128, jnp.bfloat16)
-    assert not supports(12, 2, 128, jnp.bfloat16)    # GQA → upstream
+    assert supports(12, 2, 128, jnp.bfloat16)        # GQA (qwen2-vl-2b)
+    assert supports(12, 2, 128, jnp.int8)
+    assert supports(28, 4, 128, jnp.int8)            # GQA (qwen2-7b)
+    assert not supports(12, 5, 128, jnp.bfloat16)    # non-uniform groups
+    assert not supports(12, 3, 128, jnp.int8)        # odd kv heads, packed
     assert not supports(32, 32, 64, jnp.int8)        # head_dim tiling
     # 40 heads (llava-NeXT-13B): supported — the upstream kernel rejects
     # the int8 80-combined-head shape outright and the oracle is 2.4x
     # slower (measured on chip)
     assert supports(40, 40, 128, jnp.int8)
     assert supports(40, 40, 128, jnp.bfloat16)
-    assert not supports(12, 12, 128, jnp.int8)       # H % 8 != 0
+    assert supports(12, 12, 128, jnp.int8)
 
 
 def test_dispatcher_forced_mha_decode_and_prefill_fallback():
