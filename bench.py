@@ -120,6 +120,8 @@ def run_bench(arch: str, n_requests: int, prompt_len: int, max_tokens: int,
     # reported steady state (its cold stats ride along in detail).
     engine.generate(make_requests(n_requests, "warm"), timeout_s=1200)
 
+    from hydrainfer_tpu.utils import hostprof
+    hostprof.reset()   # report covers only the measured rounds
     cold = None
     for rnd in range(2):
         reqs = make_requests(n_requests, f"bench{rnd}")
@@ -142,6 +144,12 @@ def run_bench(arch: str, n_requests: int, prompt_len: int, max_tokens: int,
     total_tokens = sum(len(o.output_token_ids) for o in outs)
     assert total_tokens == n_requests * max_tokens
     tput = total_tokens / elapsed
+    if hostprof.enabled:
+        print("HOSTPROF " + json.dumps(hostprof.report()), file=sys.stderr)
+    if hostprof.events_enabled:
+        t_base = hostprof.events[0][2] if hostprof.events else 0.0
+        for name, tag, t in hostprof.events:
+            print(f"EV {t - t_base:9.4f} {name} {tag}", file=sys.stderr)
 
     # steady-state decode roofline: B tokens per full weight read from HBM.
     # vs_baseline is pinned to the BF16 roofline regardless of --quant so
@@ -219,7 +227,7 @@ def main():
                     help="capture a jax.profiler trace (xplane/perfetto) of "
                          "the measured run into this directory")
     ap.add_argument("--pipeline", default="",
-                    choices=["", "batched", "incremental", "threaded"],
+                    choices=["", "batched", "incremental", "threaded", "sync"],
                     help="token-read pipeline mode (see NodeConfig; empty = "
                          "node default)")
     ap.add_argument("--multi-step", type=int, default=0,

@@ -43,6 +43,7 @@ from ..engine.scenario import ScenarioType
 from ..engine.worker import VanillaWorker, WorkerConfig
 from ..memory import TokenCacheBlockManager, TokenCacheBlockManagerConfig
 from ..models.factory import ModelFactory, ModelFactoryConfig, getModelFactory
+from ..utils import hostprof
 from ..utils.logger import getLogger
 from .loadbalancer import CompositeLoadBalancer, LoadBalancer, LoadBalancerConfig
 from .migrate import MigrateGraph, NodeType
@@ -151,6 +152,15 @@ class NodeConfig:
     #                   releases the GIL during the tunnel transfer). On
     #                   small hosts the reader thread can starve the
     #                   runtime's I/O — A/B before defaulting.
+    #   "sync"        — read window N's tokens BEFORE dispatching window
+    #                   N+1. On a runtime whose D2H transfers queue behind
+    #                   ALL enqueued compute (the tunneled TPU — hostprof
+    #                   event traces show a "ready" window's 4KB read
+    #                   blocking a further 278ms behind the freshly
+    #                   dispatched next window), lookahead POISONS every
+    #                   read; the naive synchronous order pays one
+    #                   read-round-trip of device idle per window and
+    #                   nothing else.
     pipeline_mode: str = "incremental"
     # legacy alias for pipeline_mode="threaded"
     threaded_postprocess: bool = False
@@ -467,7 +477,8 @@ class AsyncEPDNode:
     # ---------------- the hot loop ----------------
 
     async def step(self) -> None:
-        batch = self.batch_scheduler.step()
+        with hostprof.span("node.schedule"):
+            batch = self.batch_scheduler.step()
         if len(batch) == 0:
             # idle: drain the async pipeline so trailing tokens reach their
             # output processors
@@ -504,6 +515,10 @@ class AsyncEPDNode:
         # only runs in a LATER step, so ordering encode after fills is
         # always dependency-safe).
         if len(fills):
+            if self.config.pipeline_mode == "sync":
+                # resolve the previous window before dispatching this one:
+                # its read then never queues behind fresh compute
+                self.flush_fills()
             spec_done = False
             fx = self.executor.fill_executor
             if (self.config.spec_ngram_k > 0
@@ -656,20 +671,30 @@ class AsyncEPDNode:
                 self.batch_scheduler.config.max_running_requests, k)
         backlog_steps = max(cfg.async_pipeline_depth, k)
         if cfg.pipeline_mode == "incremental":
+            if hostprof.events_enabled:
+                # window-completion probe: first is_ready=True per window
+                for f in self._pending_fills:
+                    dev = getattr(f, "sampled_dev", None)
+                    if (dev is not None and not getattr(f, "_seen_ready", False)
+                            and dev.is_ready()):
+                        f._seen_ready = True
+                        hostprof.event("ready", getattr(f, "win_id", None))
             # completed windows first (their read is a bare transfer)...
-            while self._pending_fills:
-                dev = getattr(self._pending_fills[0], "sampled_dev", None)
-                if dev is None or not dev.is_ready():
-                    break
-                self._wait_one()
+            with hostprof.span("node.drain_ready"):
+                while self._pending_fills:
+                    dev = getattr(self._pending_fills[0], "sampled_dev", None)
+                    if dev is None or not dev.is_ready():
+                        break
+                    self._wait_one()
             # ...then force at most the backlog overflow, oldest first, so
             # at least one later window stays enqueued on the device
             # through each blocking read
             pending = sum(getattr(f, "n_steps", 1)
                           for f in self._pending_fills)
-            while pending > backlog_steps and len(self._pending_fills) >= 2:
-                pending -= getattr(self._pending_fills[0], "n_steps", 1)
-                self._wait_one()
+            with hostprof.span("node.drain_forced"):
+                while pending > backlog_steps and len(self._pending_fills) >= 2:
+                    pending -= getattr(self._pending_fills[0], "n_steps", 1)
+                    self._wait_one()
             return
         pending_steps = sum(getattr(f, "n_steps", 1)
                             for f in self._pending_fills)

@@ -28,6 +28,7 @@ from ..memory import TokenCacheBlockManager
 from ..models.factory import (FillDims, ModelFactory, VisionModelParameters,
                               pack_fill_batch)
 from ..ops.cache_ops import write_token_cache
+from ..utils import hostprof
 from ..utils.logger import getLogger
 from .isa import Fill, ImageEmbed, ImageEmbedFill
 from .params_builder import (FillBatchPlan, LanguageModelBatchBuilder,
@@ -472,17 +473,20 @@ class FillExecutor:
         if len(batch) == 0:
             return EmptyFuture()
 
-        n_steps, ks = self._multi_step_window(batch, n_steps)
-        self._register_prefix_blocks(batch)
-        for rcb, _ in batch:
-            self.acquire_slot(rcb)
+        with hostprof.span("fill.window_walk"):
+            n_steps, ks = self._multi_step_window(batch, n_steps)
+        with hostprof.span("fill.prefix_reg"):
+            self._register_prefix_blocks(batch)
+            for rcb, _ in batch:
+                self.acquire_slot(rcb)
 
-        builder = LanguageModelBatchBuilder(
-            self.kv, self.image, self.language_config, self.image_token_id)
-        builder.add_batch(batch)
-        plan = builder.build(s_floor=self._s_highwater,
-                             mb_floor=self._mb_highwater,
-                             ti_floor=self._ti_highwater)
+        with hostprof.span("fill.build"):
+            builder = LanguageModelBatchBuilder(
+                self.kv, self.image, self.language_config, self.image_token_id)
+            builder.add_batch(batch)
+            plan = builder.build(s_floor=self._s_highwater,
+                                 mb_floor=self._mb_highwater,
+                                 ti_floor=self._ti_highwater)
         self._s_highwater = max(self._s_highwater, plan.dims.S)
         self._mb_highwater = max(self._mb_highwater, plan.dims.MB)
         self._ti_highwater = max(self._ti_highwater, plan.dims.Ti)
@@ -499,9 +503,12 @@ class FillExecutor:
         image_cache = (self.image.cache_array if self.image is not None
                        else self._dummy_image_cache)
         cache_in = self.kv.cache_ref if self.kv.use_ref else self.kv.cache_array
-        out = self.worker.execute_language_model(
-            cache_in, self.token_table, jnp.asarray(plan.flat),
-            image_cache, plan.dims, n_steps=n_steps, fused_k=fused_k)
+        with hostprof.span("fill.h2d"):
+            flat_dev = jnp.asarray(plan.flat)
+        with hostprof.span("fill.dispatch"):
+            out = self.worker.execute_language_model(
+                cache_in, self.token_table, flat_dev,
+                image_cache, plan.dims, n_steps=n_steps, fused_k=fused_k)
         # ref mode updates in place (out.cache is None); value mode donated
         if out.cache is not None and not isinstance(out.cache, jax.Ref):
             self.kv.cache_array = out.cache
@@ -511,27 +518,38 @@ class FillExecutor:
         # per-step instruction rows for host-side token resolution; rows a
         # request doesn't reach hold None (its device lanes were masked)
         plan.n_steps = n_steps
-        if n_steps == 1:
-            batch.step()
-        else:
-            rows = [[None] * len(plan.seq_rcbs) for _ in range(n_steps)]
-            for i, rcb in enumerate(plan.seq_rcbs):
-                for s in range(ks[i]):
-                    rows[s][i] = rcb.current_instruction()
-                    rcb.step()
-            plan.step_insts = rows
+        with hostprof.span("fill.cursor"):
+            if n_steps == 1:
+                batch.step()
+            else:
+                rows = [[None] * len(plan.seq_rcbs) for _ in range(n_steps)]
+                for i, rcb in enumerate(plan.seq_rcbs):
+                    for s in range(ks[i]):
+                        rows[s][i] = rcb.current_instruction()
+                        rcb.step()
+                plan.step_insts = rows
 
         def postprocess():
             # the only host↔device sync in the fill path — the node batches
             # these reads every few steps (see AsyncEPDNode.flush_fills), so
             # the device never waits on the host between decode steps
-            postprocess_plan(plan, np.asarray(sampled_dev))
+            hostprof.event("read_start", getattr(plan, "win_id", None))
+            with hostprof.span("fill.d2h_read"):
+                sampled = np.asarray(sampled_dev)
+            hostprof.event("read_done", getattr(plan, "win_id", None))
+            with hostprof.span("fill.postprocess"):
+                postprocess_plan(plan, sampled)
 
         fut = CallbackFuture(postprocess)
         fut.plan = plan
         fut.sampled_dev = sampled_dev
         fut.n_steps = n_steps  # device steps this read covers (node backlog)
+        FillExecutor._win_counter += 1
+        fut.win_id = plan.win_id = FillExecutor._win_counter
+        hostprof.event("dispatched", fut.win_id)
         return fut
+
+    _win_counter = 0
 
 
 def postprocess_plan(plan, sampled: np.ndarray) -> None:
