@@ -343,6 +343,31 @@ def getModelFactory(config: ModelFactoryConfig,
         config.dtype = "bf16"
         logger.info(f"auto set model dtype to {config.dtype}")
 
+    if config.name.startswith("random:"):
+        # "random:<arch>[+mm]" — random weights at a named ARCH_CONFIGS
+        # architecture ("+mm" adds a real ViT tower: CLIP-L/14-336, or the
+        # tiny CPU-runnable CLIP for tiny archs). Lets STANDALONE process
+        # nodes (cluster/process_node.py) run real-compute models without
+        # checkpoints — e.g. an E node with an actual vision tower in the
+        # multichip dryrun's vision-EPD stage.
+        import jax.numpy as _jnp
+
+        from .random_init import CLIP_TINY, RandomWeightFactory
+        spec = config.name[len("random:"):]
+        multimodal = spec.endswith("+mm")
+        arch = spec[:-3] if multimodal else spec
+        dt = {"float32": _jnp.float32, "f32": _jnp.float32,
+              "bf16": _jnp.bfloat16, "bfloat16": _jnp.bfloat16}[config.dtype]
+        return RandomWeightFactory(
+            arch, dtype=dt, quantization=config.quantization,
+            kv_scale=(config.kv_scale
+                      if config.kv_cache_dtype == "int8" else None),
+            multimodal=multimodal,
+            layer_loop=(config.layer_loop
+                        if config.layer_loop != "auto" else "scan"),
+            attention_impl=config.attention_impl,
+            clip_cfg=CLIP_TINY if "tiny" in arch else None)
+
     if config.name == "fake" or not config.path:
         from .fake import FakeModelFactory
         return FakeModelFactory(config, context)

@@ -155,6 +155,12 @@ CLIP_L_336 = CLIPVisionConfig(hidden_size=1024, intermediate_size=4096,
                               n_layers=23, n_heads=16, image_size=336,
                               patch_size=14)
 
+# CPU-runnable ViT for multimodal engine/dryrun tests: 4x4 patch grid,
+# 16 feature tokens per image
+CLIP_TINY = CLIPVisionConfig(hidden_size=64, intermediate_size=128,
+                             n_layers=2, n_heads=2, image_size=56,
+                             patch_size=14)
+
 
 # ---------------- random-weight model factory ----------------
 
@@ -193,7 +199,7 @@ class RandomWeightFactory(ModelFactory):
     def __init__(self, arch: str, dtype=jnp.bfloat16, quantization: str = "none",
                  kv_scale=None, multimodal: bool = False,
                  layer_loop: str = "scan", attention_impl: str = "auto",
-                 bisect: str = "", kv_pages_per_block=None):
+                 bisect: str = "", kv_pages_per_block=None, clip_cfg=None):
         import dataclasses
         self.cfg = dataclasses.replace(ARCH_CONFIGS[arch],
                                        layer_loop=layer_loop,
@@ -204,7 +210,7 @@ class RandomWeightFactory(ModelFactory):
         self.quantization = quantization
         self.kv_scale = kv_scale
         self.multimodal = multimodal
-        self.clip_cfg = CLIP_L_336 if multimodal else None
+        self.clip_cfg = (clip_cfg or CLIP_L_336) if multimodal else None
         self._lm = None
         self._vm = None
 
