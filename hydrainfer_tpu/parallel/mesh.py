@@ -82,13 +82,18 @@ def shard_decoder_weights(weights: dict, mesh: Mesh) -> dict:
             return None
         from ..ops.quant import QuantizedTensor
         if isinstance(x, QuantizedTensor):
-            # .q shards with the weight rule; the per-output-channel .scale
-            # is rank-(n-1): it follows the OUTPUT axis of the spec (drop the
+            # .q shards with the weight rule. A per-output-channel .scale is
+            # rank-(n-1): it follows the OUTPUT axis of the spec (drop the
             # input axis, the spec's second-to-last entry). qkv P(None,'tp')
             # → scale P('tp'); o_proj P('tp',None) → scale P(None); stacked
-            # variants keep their leading replicated layer axis.
+            # variants keep their leading replicated layer axis. A GROUPED
+            # scale (in/g, out) has the weight's rank and follows the full
+            # spec (its group axis shards with the input axis — valid when
+            # the per-shard input dim stays a multiple of g, which holds for
+            # the g=128 default at every supported head_dim×tp split).
             t = tuple(spec)
-            scale_spec = P(*(t[:-2] + t[-1:]))
+            scale_spec = (P(*t) if x.scale.ndim == x.q.ndim
+                          else P(*(t[:-2] + t[-1:])))
             return QuantizedTensor(
                 q=jax.device_put(x.q, NamedSharding(mesh, spec)),
                 scale=jax.device_put(x.scale, NamedSharding(mesh, scale_spec)),

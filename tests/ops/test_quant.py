@@ -147,3 +147,60 @@ def test_int8_kv_cache_logits_close_to_fp32():
     corr = np.corrcoef(fp, q)[0, 1]
     assert corr > 0.98, f"int8-KV logits diverged, corr={corr}"
     assert np.asarray(logits_q).dtype == np.float32
+
+
+def test_int4_group_scales_beat_per_column():
+    """Group-wise (g=128) int4 must cut the error on weights whose column
+    amax is set by a few outliers (the regime that made per-column int4's
+    top-1 agreement 0.487 — BASELINE.md quant table)."""
+    rng = np.random.default_rng(7)
+    w = rng.standard_normal((512, 64)).astype(np.float32)
+    w[:8] *= 20.0  # outlier rows confined to group 0 inflate per-COLUMN amax
+    qt_g = quantize_int4(jnp.asarray(w), group=128)
+    qt_c = quantize_int4(jnp.asarray(w), group=0)
+    assert qt_g.group == 128 and qt_g.scale.shape == (4, 64)
+    assert qt_c.group == 0 and qt_c.scale.shape == (64,)
+    err_g = np.abs(np.asarray(dequantize(qt_g, jnp.float32)) - w)
+    err_c = np.abs(np.asarray(dequantize(qt_c, jnp.float32)) - w)
+    # error on the outlier-free groups (the bulk of the weight mass)
+    assert err_g[128:].mean() < 0.5 * err_c[128:].mean()
+    # per-group bound: |err| <= group_amax / 7 / 2
+    gmax = np.abs(w.reshape(4, 128, 64)).max(1)
+    bound = np.repeat(gmax / 7.0 * 0.51, 128, axis=0) + 1e-6
+    assert (err_g <= bound).all()
+
+
+def test_group_fallback_chain():
+    """704 = 64*11: g=128 doesn't divide, the chain lands on 64; tiny dims
+    fall back to per-column."""
+    rng = np.random.default_rng(8)
+    qt = quantize_int4(jnp.asarray(rng.standard_normal((704, 8)), jnp.float32))
+    assert qt.group == 64 and qt.scale.shape == (11, 8)
+    qt = quantize_int4(jnp.asarray(rng.standard_normal((16, 8)), jnp.float32))
+    assert qt.group == 0 and qt.scale.shape == (8,)
+
+
+def test_grouped_qmatmul_matches_dequant_oracle():
+    rng = np.random.default_rng(9)
+    w = rng.standard_normal((256, 32)).astype(np.float32)
+    x = rng.standard_normal((4, 256)).astype(np.float32)
+    import functools
+    for quant in (quantize_int4, functools.partial(quantize_fp8, group=128)):
+        qt = quant(jnp.asarray(w))
+        assert qt.group > 0
+        out = np.asarray(qmatmul(jnp.asarray(x), qt))
+        oracle = x @ np.asarray(dequantize(qt, jnp.float32))
+        np.testing.assert_allclose(out, oracle, rtol=2e-2, atol=2e-2)
+
+
+def test_fp8_group_option_roundtrip():
+    """fp8 defaults to per-column (group scales are a quality wash for a
+    relative-error format); the group option stays available and exact."""
+    rng = np.random.default_rng(10)
+    w = rng.standard_normal((512, 64)).astype(np.float32)
+    qt_c = quantize_fp8(jnp.asarray(w))
+    assert qt_c.group == 0 and qt_c.scale.shape == (64,)
+    qt_g = quantize_fp8(jnp.asarray(w), group=128)
+    assert qt_g.group == 128 and qt_g.scale.shape == (4, 64)
+    err_g = np.abs(np.asarray(dequantize(qt_g, jnp.float32)) - w)
+    assert err_g.max() <= np.abs(w).max() * (2 ** -4) + 1e-6
