@@ -86,7 +86,8 @@ async def amain(args):
         await run_benchmark(base, entries, 1e9, "uniform")
         rows = []
         for rate in args.rates:
-            result = await run_benchmark(base, entries, rate, "poisson")
+            result = await run_benchmark(base, entries, rate, args.arrival,
+                                         trace_path=args.trace_path or None)
             analysis = result.analyze()
             analysis["slo"] = slo_attainment(result, args.ttft_slo,
                                              args.tpot_slo)
@@ -106,6 +107,8 @@ async def amain(args):
             json.dump({"arch": args.arch, "ttft_slo": args.ttft_slo,
                        "tpot_slo": args.tpot_slo, "gap_slo": args.gap_slo,
                        "multi_step": args.multi_step,
+                       "arrival": args.arrival,
+                       "trace_path": args.trace_path,
                        "entries": args.entries or "synthetic",
                        "image_ratio": args.image_ratio,
                        "strict": [r.get("slo_strict") for r in rows],
@@ -131,6 +134,16 @@ def main():
                          "output) instead of synthetic entries; image "
                          "entries require --image-ratio > 0 so the engine "
                          "boots the vision tower")
+    ap.add_argument("--arrival", default="poisson",
+                    choices=["poisson", "uniform", "mooncake", "azure",
+                             "burstgpt"],
+                    help="arrival process; trace methods replay a trace "
+                         "file's inter-arrival pattern rescaled to each "
+                         "rate (reference: benchmark/timestamp.py:9-60)")
+    ap.add_argument("--trace-path", default="",
+                    help="trace file for --arrival mooncake/azure/burstgpt "
+                         "(evaluation/make_bursty_traces.py synthesizes "
+                         "format-exact bursty traces in this no-egress env)")
     ap.add_argument("--ttft-slo", type=float, default=5.0)
     ap.add_argument("--tpot-slo", type=float, default=0.1)
     ap.add_argument("--gap-slo", type=float, nargs="*", default=[],
