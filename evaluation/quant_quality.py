@@ -19,6 +19,15 @@ equivalent workflow is the correctness dump diff
 (reference: evaluation/test_correctness/evaluation.sh:30-54); ours adds
 logit-level metrics instead of only token dumps.
 
+Each checkpoint is briefly TRAINED (CPU torch) on a sparse synthetic Markov
+task before measurement, and evaluated on held-out sequences from the same
+chain. On an untrained init the top-1 metric is noise: logit margins sit at
+init-scale (~1e-2 nats), so even fp8's KL of 3e-4 nats scored 0.873 and the
+ranking degenerated into a KL contest. A trained model has real margins —
+top-1 agreement then measures what deployment cares about (greedy decode
+invariance), and the trained weights carry realistic per-channel outlier
+structure, which is the regime group-wise int4 scales exist for.
+
 Usage:
   python -m evaluation.quant_quality [--out evaluation/results/quant_quality.json]
 """
@@ -80,6 +89,49 @@ def make_mla_ckpt(root: str) -> str:
     return path
 
 
+def markov_sampler(vocab: int, branching: int = 4, seed: int = 7):
+    """Sparse first-order Markov chain: every token has `branching` fixed
+    successors with Zipf-ish transition probabilities (entropy ~0.92 nats →
+    a trained model is CONFIDENT, unlike uniform-random eval tokens)."""
+    rng = np.random.default_rng(seed)
+    succ = rng.integers(0, vocab, size=(vocab, branching))
+    probs = np.asarray([0.7, 0.15, 0.1, 0.05][:branching], np.float64)
+    probs = probs / probs.sum()
+
+    def sample(n_seqs: int, T: int, seed2: int) -> np.ndarray:
+        r = np.random.default_rng(seed2)
+        seqs = np.empty((n_seqs, T), np.int64)
+        seqs[:, 0] = r.integers(0, vocab, n_seqs)
+        for t in range(1, T):
+            choice = r.choice(len(probs), size=n_seqs, p=probs)
+            seqs[:, t] = succ[seqs[:, t - 1], choice]
+        return seqs
+
+    return sample
+
+
+def train_ckpt(path: str, sampler, steps: int, batch: int = 16,
+               T: int = 64, lr: float = 1e-3) -> float:
+    """Brief CPU training of the HF checkpoint on the Markov task;
+    overwrites the checkpoint in place. Returns the final loss."""
+    import torch
+    import transformers
+    torch.manual_seed(0)
+    model = transformers.AutoModelForCausalLM.from_pretrained(
+        path).float().train()
+    opt = torch.optim.Adam(model.parameters(), lr=lr)
+    loss = float("nan")
+    for step in range(steps):
+        seqs = torch.from_numpy(sampler(batch, T, 10_000 + step))
+        out = model(input_ids=seqs, labels=seqs)
+        out.loss.backward()
+        opt.step()
+        opt.zero_grad()
+        loss = float(out.loss)
+    model.eval().save_pretrained(path, safe_serialization=True)
+    return loss
+
+
 def all_position_logits(path: str, quant: str, kv_int8: bool,
                         seqs: np.ndarray, block_size: int = 16) -> np.ndarray:
     """(n_seqs, T, vocab) float32 logits at EVERY position, one prefill per
@@ -131,9 +183,12 @@ def metrics_vs_baseline(logits: np.ndarray, base: np.ndarray,
 
 
 def evaluate_model(path: str, n_seqs: int, seq_len: int, vocab: int,
-                   seed: int) -> dict:
-    rng = np.random.default_rng(seed)
-    seqs = rng.integers(0, vocab, size=(n_seqs, seq_len))
+                   seed: int, sampler=None) -> dict:
+    if sampler is not None:     # held-out sequences from the trained task
+        seqs = sampler(n_seqs, seq_len, 777 + seed)
+    else:
+        rng = np.random.default_rng(seed)
+        seqs = rng.integers(0, vocab, size=(n_seqs, seq_len))
     base = None
     rows = {}
     for label, quant, kv_int8 in CONFIGS:
@@ -150,16 +205,34 @@ def main():
     ap.add_argument("--num-seqs", type=int, default=8)
     ap.add_argument("--ckpt-dir", default="",
                     help="reuse/keep checkpoints here (default: temp dir)")
+    ap.add_argument("--train-steps", type=int, default=400,
+                    help="CPU training steps on the synthetic Markov task "
+                         "before measuring (0 = evaluate the raw init — "
+                         "reproduces the old margin-free table)")
     args = ap.parse_args()
 
     root = args.ckpt_dir or tempfile.mkdtemp(prefix="quantq_")
     results = {}
     llama = make_llama_ckpt(root)
+    llama_sampler = None
+    if args.train_steps:
+        llama_sampler = markov_sampler(2048, seed=7)
+        loss = train_ckpt(llama, llama_sampler, args.train_steps)
+        print(f"llama-tiny trained {args.train_steps} steps, "
+              f"final loss {loss:.3f} (task entropy ~0.92 nats)")
     results["llama-tiny"] = evaluate_model(llama, args.num_seqs,
-                                           seq_len=128, vocab=2048, seed=0)
+                                           seq_len=128, vocab=2048, seed=0,
+                                           sampler=llama_sampler)
     mla = make_mla_ckpt(root)
+    mla_sampler = None
+    if args.train_steps:
+        mla_sampler = markov_sampler(256, seed=9)
+        loss = train_ckpt(mla, mla_sampler, args.train_steps, T=48)
+        print(f"deepseek-v3-mla-tiny trained {args.train_steps} steps, "
+              f"final loss {loss:.3f}")
     results["deepseek-v3-mla-tiny"] = evaluate_model(
-        mla, args.num_seqs, seq_len=64, vocab=256, seed=1)
+        mla, args.num_seqs, seq_len=64, vocab=256, seed=1,
+        sampler=mla_sampler)
 
     payload = {
         "methodology": ("HF save_pretrained checkpoints (fixed torch seeds), "
