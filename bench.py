@@ -40,9 +40,11 @@ def run_bench(arch: str, n_requests: int, prompt_len: int, max_tokens: int,
               kv_blocks: int = 0, kv_ref: bool = True,
               attn_impl: str = "auto", layer_loop: str = "",
               trace_dir: str = "", pipeline: str = "",
-              multi_step: int = 0, bisect: str = "",
+              multi_step: int = 0, post_batch_steps: int = 0,
+              pipeline_depth: int = 0, bisect: str = "",
               kv_pages_per_block: int = 0, block_size: int = 16,
-              breakdown: bool = False, encode_chunk: int = -1):
+              breakdown: bool = False, encode_chunk: int = -1,
+              encode_chunk_layers: int = 0):
     from hydrainfer_tpu.models.random_init import ARCH_CONFIGS
     if not layer_loop:
         # unroll is the measured default for standard attention; MLA archs
@@ -79,6 +81,11 @@ def run_bench(arch: str, n_requests: int, prompt_len: int, max_tokens: int,
         cfg.pipeline_mode = pipeline
     if multi_step:
         cfg.multi_step_decode = multi_step
+    if post_batch_steps:
+        cfg.postprocess_batch_steps = post_batch_steps
+        cfg.adaptive_postprocess = False
+    if pipeline_depth:
+        cfg.async_pipeline_depth = pipeline_depth
     if kv_int8:
         cfg.model.kv_cache_dtype = "int8"
     if image_ratio > 0:
@@ -88,6 +95,8 @@ def run_bench(arch: str, n_requests: int, prompt_len: int, max_tokens: int,
         cfg.log_latency_breakdown = True
     if encode_chunk >= 0:
         cfg.batch_scheduler.encode_chunk_images = encode_chunk
+    if encode_chunk_layers:
+        cfg.encode_chunk_layers = encode_chunk_layers
     engine = OfflineEngine(cfg, model_factory=factory,
                            node_type="EPD" if image_ratio > 0 else "PD")
     engine.node.batch_scheduler.token_budget = token_budget
@@ -232,6 +241,16 @@ def main():
                          "node default)")
     ap.add_argument("--multi-step", type=int, default=0,
                     help="fused decode window K (0 = node default)")
+    ap.add_argument("--post-batch-steps", type=int, default=0,
+                    help="token-read batching depth in device steps "
+                         "(disables the adaptive policy; 0 = node default)")
+    ap.add_argument("--encode-chunk-layers", type=int, default=0,
+                    help="layer-chunked ViT encode: tower segment size in "
+                         "layers (0 = whole tower in one program)")
+    ap.add_argument("--pipeline-depth", type=int, default=0,
+                    help="async pipeline depth in device steps (how many "
+                         "fused-window steps may be in flight before the "
+                         "oldest is read; 0 = node default)")
     args = ap.parse_args()
     result = run_bench(args.arch, args.n_requests, args.prompt_len,
                        args.max_tokens, args.token_budget, args.quant,
@@ -239,7 +258,10 @@ def main():
                        kv_blocks=args.kv_blocks, kv_ref=not args.no_kv_ref,
                        attn_impl=args.attn_impl,
                        layer_loop=args.layer_loop, trace_dir=args.trace_dir,
-                       pipeline=args.pipeline, multi_step=args.multi_step)
+                       pipeline=args.pipeline, multi_step=args.multi_step,
+                       post_batch_steps=args.post_batch_steps,
+                       pipeline_depth=args.pipeline_depth,
+                       encode_chunk_layers=args.encode_chunk_layers)
     print(json.dumps(result))
 
 

@@ -167,6 +167,15 @@ class NodeConfig:
     # threaded mode: max windows in flight before the loop blocks (bounds
     # token-delivery/termination staleness to ~this many windows)
     max_threaded_backlog: int = 4
+    # layer-chunked ViT encode: split one encode batch's tower into
+    # segments of this many layers, one segment dispatched per engine step,
+    # so resident decode windows enter the device queue BETWEEN segments
+    # instead of waiting out the whole ViT forward (the head-of-line
+    # interference the EPD split exists for — reference motivation:
+    # hydrainfer/engine/profiler.py:195-240). 0 = off (whole tower in one
+    # program). Requires a fixed-resolution vision model with the segment
+    # API (models/llava.py); others silently run unchunked.
+    encode_chunk_layers: int = 0
     token_table_size: int = 4096
     # reference parity: a failed migrate RPC is retried against the next
     # balancer target this many times before the request is terminated
@@ -257,7 +266,8 @@ class AsyncEPDNode:
         self._init_caches()
         self.executor = InstructionExecutor(
             self.kv_cache_manager, self.image_cache_manager, self.worker,
-            self.model_factory, token_table_size=self.config.token_table_size)
+            self.model_factory, token_table_size=self.config.token_table_size,
+            encode_chunk_layers=self.config.encode_chunk_layers)
         self._pending_fills = []
         # in-flight background cache pulls (see _execute_pull_cache):
         # decode steps keep running while a migrated request's blocks are
@@ -480,6 +490,9 @@ class AsyncEPDNode:
         with hostprof.span("node.schedule"):
             batch = self.batch_scheduler.step()
         if len(batch) == 0:
+            # a chunked encode must keep advancing even with nothing else
+            # scheduled (its own request is parked inside the executor)
+            self._encode_tick()
             # idle: drain the async pipeline so trailing tokens reach their
             # output processors
             self.flush_fills()
@@ -553,10 +566,24 @@ class AsyncEPDNode:
                     self._pending_fills.append(fut)
         else:
             self.flush_fills()
-        embed_future = self.executor.execute_image_embed(embeds) if len(embeds) \
-            else self.executor.execute_empty(embeds)
+        # chunked encode: dispatch the in-flight tower's next segment AFTER
+        # this step's fills (decode windows stay ahead of it in the device
+        # queue), and route new embeds into the chunked state machine
+        finished_encode = self._encode_tick()
+        iee = self.executor.image_embed_executor
+        if len(embeds) and iee is not None and iee.chunking_enabled():
+            if iee.busy:
+                # encoder occupied: embeds return to the scheduler
+                for rcb, _ in embeds:
+                    self.batch_scheduler.schedule_running(rcb)
+            else:
+                iee.start_chunked(embeds)
+            embeds = BatchRequest()   # parked in the executor (or requeued)
+        else:
+            embed_future = self.executor.execute_image_embed(embeds) \
+                if len(embeds) else self.executor.execute_empty(embeds)
+            embed_future.get()
         self.executor.execute_empty(empties)
-        embed_future.get()
         self._drain_pipeline()
         await asyncio.gather(*migrate_tasks)
 
@@ -566,7 +593,7 @@ class AsyncEPDNode:
         now = time.perf_counter()
         # pulls are NOT rejoined here — their background task re-enqueues
         # them when the transfer lands (_pull_one)
-        for b in (embeds, fills, empties):
+        for b in (embeds, fills, empties, finished_encode):
             for rcb, _ in b:
                 if rcb.is_finished():
                     rcb.metric.finished_time = now
@@ -575,6 +602,21 @@ class AsyncEPDNode:
                         log_latency_breakdown(rcb.metric)
                 else:
                     self.batch_scheduler.schedule_running(rcb)
+
+    def _encode_tick(self):
+        """Advance an in-flight chunked encode by one segment; returns the
+        finished batch (to rejoin the scheduler) or an empty one."""
+        iee = self.executor.image_embed_executor
+        if iee is None or not iee.busy:
+            return BatchRequest()
+        done = iee.advance()
+        if done is None:
+            return BatchRequest()
+        if self.config.log_latency_breakdown:
+            now = time.perf_counter()
+            for rcb, _ in done:
+                rcb.metric.encode_execute.append(now)
+        return done
 
     def _stamp_execute_begin(self, fills: BatchRequest, embeds: BatchRequest) -> None:
         now = time.perf_counter()

@@ -586,12 +586,90 @@ def postprocess_plan(plan, sampled: np.ndarray) -> None:
 
 class ImageEmbedExecutor:
     def __init__(self, image_cache_manager: TokenCacheBlockManager,
-                 worker: Worker, model_factory: ModelFactory):
+                 worker: Worker, model_factory: ModelFactory,
+                 chunk_layers: int = 0):
         self.image = image_cache_manager
         self.worker = worker
         lcfg = model_factory.getLanguageModelConfig()
         self.n_heads = image_cache_manager.config.n_heads
         self.head_dim = image_cache_manager.config.head_dim
+        # layer-chunked encode: split one encode batch's ViT tower into
+        # segments of this many layers, dispatched ONE PER ENGINE STEP so
+        # decode windows enter the device queue between segments (0 = off,
+        # whole tower in one program). Requires a fixed-resolution vision
+        # model exposing the segment API (models/llava.py).
+        self.chunk_layers = chunk_layers
+        self._inflight = None
+
+    def chunking_enabled(self) -> bool:
+        vm = self.worker.vision_model
+        return (self.chunk_layers > 0 and vm is not None
+                and hasattr(vm, "forward_segment")
+                and getattr(vm, "fixed_resolution", False))
+
+    @property
+    def busy(self) -> bool:
+        return self._inflight is not None
+
+    def _prep(self, batch: BatchRequest):
+        """Shared batch prep: stacked pixels (pow2-padded), cache slots."""
+        pixel_values, slot_ids, images_size = [], [], []
+        for rcb, inst in batch:
+            pixel_values.append(np.asarray(inst.pixel_values))
+            inst.pixel_values = None
+            slot_ids.extend(self.image.v2p(rcb.virtual_image_cache,
+                                           inst.cache_ids))
+            images_size.extend(inst.images_size)
+        stacked = np.concatenate(pixel_values, axis=0)
+        if getattr(self.worker.vision_model, "fixed_resolution", False):
+            n_imgs = stacked.shape[0]
+            assert len(images_size) == n_imgs, (len(images_size), n_imgs)
+            Np = _next_pow2(n_imgs)
+            if Np > n_imgs:
+                stacked = np.concatenate(
+                    [stacked, np.zeros((Np - n_imgs,) + stacked.shape[1:],
+                                       stacked.dtype)], axis=0)
+                images_size.extend(images_size[-1:] * (Np - n_imgs))
+        return stacked, slot_ids, images_size
+
+    def _scatter(self, feats, slot_ids) -> None:
+        flat = feats.reshape(-1, feats.shape[-1])
+        n = flat.shape[0]
+        Tp = bucket_of(n, TOKEN_BUCKETS)
+        slots = np.full(Tp, -1, np.int32)
+        slots[:len(slot_ids)] = slot_ids
+        flat = jnp.pad(flat, ((0, Tp - n), (0, 0)))
+        self.image.cache_array = self._scatter_features(
+            self.image.cache_array, flat, jnp.asarray(slots))
+
+    def start_chunked(self, batch: BatchRequest) -> None:
+        """Dispatch the patch embedding + first tower segment; the engine
+        calls advance() once per step until the encode completes."""
+        assert self._inflight is None and self.chunking_enabled()
+        stacked, slot_ids, _ = self._prep(batch)
+        vm = self.worker.vision_model
+        hidden = vm.forward_embed(jnp.asarray(stacked))
+        hidden = vm.forward_segment(hidden, 0, self.chunk_layers)
+        self._inflight = {"batch": batch, "hidden": hidden, "seg": 1,
+                          "n_segs": vm.encode_segments(self.chunk_layers),
+                          "slot_ids": slot_ids}
+
+    def advance(self) -> Optional[BatchRequest]:
+        """Dispatch the next tower segment (async); on the last one,
+        project + scatter and return the finished batch."""
+        st = self._inflight
+        assert st is not None
+        vm = self.worker.vision_model
+        if st["seg"] < st["n_segs"]:
+            st["hidden"] = vm.forward_segment(st["hidden"], st["seg"],
+                                              self.chunk_layers)
+            st["seg"] += 1
+            return None
+        feats = vm.forward_project(st["hidden"])
+        self._scatter(feats, st["slot_ids"])
+        st["batch"].step()
+        self._inflight = None
+        return st["batch"]
 
     @functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(1,))
     def _scatter_features(self, cache, features, slots):
@@ -603,44 +681,21 @@ class ImageEmbedExecutor:
         if len(batch) == 0:
             return EmptyFuture()
 
-        pixel_values, slot_ids, images_size = [], [], []
-        for rcb, inst in batch:
-            pixel_values.append(np.asarray(inst.pixel_values))
-            inst.pixel_values = None
-            slot_ids.extend(self.image.v2p(rcb.virtual_image_cache, inst.cache_ids))
-            images_size.extend(inst.images_size)
-
-        stacked = np.concatenate(pixel_values, axis=0)
-        if getattr(self.worker.vision_model, "fixed_resolution", False):
-            # pad the image axis to a pow2 bucket so the encode program's
-            # jit key converges instead of compiling per image count
-            # (pad rows' features land on slot -1 below and are dropped by
-            # the scatter). Pure pow2 — no high-water floor: a floor would
-            # make one large burst tax every later encode with pad-row ViT
-            # FLOPs forever, to save at most log2(budget) compiles. The
-            # budget profiler probes these same pow2 sizes (its latency
-            # samples include the pad cost), so scheduled batches stay
-            # inside the profiled SLO envelope.
-            n_imgs = stacked.shape[0]
-            assert len(images_size) == n_imgs, (len(images_size), n_imgs)
-            Np = _next_pow2(n_imgs)
-            if Np > n_imgs:
-                stacked = np.concatenate(
-                    [stacked, np.zeros((Np - n_imgs,) + stacked.shape[1:],
-                                       stacked.dtype)], axis=0)
-                images_size.extend(images_size[-1:] * (Np - n_imgs))
+        # _prep pads the image axis to a pow2 bucket so the encode
+        # program's jit key converges instead of compiling per image count
+        # (pad rows' features land on slot -1 and are dropped by the
+        # scatter). Pure pow2 — no high-water floor: a floor would make one
+        # large burst tax every later encode with pad-row ViT FLOPs
+        # forever, to save at most log2(budget) compiles. The budget
+        # profiler probes these same pow2 sizes (its latency samples
+        # include the pad cost), so scheduled batches stay inside the
+        # profiled SLO envelope.
+        stacked, slot_ids, images_size = self._prep(batch)
         pixels = jnp.asarray(stacked)
         vision_out = self.worker.execute_vision_model(
             pixels, VisionModelParameters(original_image_sizes=images_size))
         feats = vision_out.image_features  # (n_images, n_tok, hidden)
-        flat = feats.reshape(-1, feats.shape[-1])
-        n = flat.shape[0]
-        Tp = bucket_of(n, TOKEN_BUCKETS)
-        slots = np.full(Tp, -1, np.int32)
-        slots[:len(slot_ids)] = slot_ids
-        flat = jnp.pad(flat, ((0, Tp - n), (0, 0)))
-        self.image.cache_array = self._scatter_features(
-            self.image.cache_array, flat, jnp.asarray(slots))
+        self._scatter(feats, slot_ids)
 
         batch.step()
         return EmptyFuture()
@@ -651,12 +706,14 @@ class InstructionExecutor:
     (reference: executor.py:267-299)."""
 
     def __init__(self, kv_cache_manager, image_cache_manager, worker,
-                 model_factory, token_table_size: int = 4096):
+                 model_factory, token_table_size: int = 4096,
+                 encode_chunk_layers: int = 0):
         self.fill_executor = FillExecutor(kv_cache_manager, image_cache_manager,
                                           worker, model_factory,
                                           token_table_size=token_table_size)
         self.image_embed_executor = (
-            ImageEmbedExecutor(image_cache_manager, worker, model_factory)
+            ImageEmbedExecutor(image_cache_manager, worker, model_factory,
+                               chunk_layers=encode_chunk_layers)
             if image_cache_manager is not None else None)
 
     def execute_fill(self, batch: BatchRequest, n_steps: int = 1) -> Future:

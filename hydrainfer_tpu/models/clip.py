@@ -105,12 +105,10 @@ def _dense_mha(x: jax.Array, qkv, out, n_heads: int, return_scores: bool
     return o, (p if return_scores else None)
 
 
-def clip_forward(weights: dict, pixel_values: jax.Array, cfg: CLIPVisionConfig,
-                 return_scores: bool = False
-                 ) -> Tuple[jax.Array, Optional[jax.Array]]:
-    """pixel_values: (N, 3, H, W) → hidden states (N, 1 + n_patches, hidden).
-
-    The class token is position 0 (dropped later by feature select)."""
+def clip_embed(weights: dict, pixel_values: jax.Array,
+               cfg: CLIPVisionConfig) -> jax.Array:
+    """Patch/class/position embeddings + pre-norm:
+    (N, 3, H, W) → (N, 1 + n_patches, hidden)."""
     N = pixel_values.shape[0]
     P = cfg.patch_size
     g = cfg.image_size // P
@@ -121,13 +119,22 @@ def clip_forward(weights: dict, pixel_values: jax.Array, cfg: CLIPVisionConfig,
                 preferred_element_type=jnp.float32).astype(pixel_values.dtype)
     cls = jnp.broadcast_to(weights["class_embed"], (N, 1, cfg.hidden_size)).astype(x.dtype)
     x = jnp.concatenate([cls, x], axis=1) + weights["pos_embed"][None]
-    x = layer_norm(x, *weights["pre_norm"], cfg.layer_norm_eps)
+    return layer_norm(x, *weights["pre_norm"], cfg.layer_norm_eps)
 
+
+def clip_run_layers(layers: list, x: jax.Array, cfg: CLIPVisionConfig,
+                    score_layer: int = -1
+                    ) -> Tuple[jax.Array, Optional[jax.Array]]:
+    """Run a SLICE of encoder layers over hidden states (the unit of
+    layer-chunked encode — engine/executor.py splits one image's tower
+    across steps so an encode never blocks the decode queue for the full
+    tower duration). score_layer: local index whose attention scores to
+    return (-1 = none)."""
     scores = None
-    for l, lw in enumerate(weights["layers"]):
+    for l, lw in enumerate(layers):
         h = layer_norm(x, *lw["ln1"], cfg.layer_norm_eps)
         attn, s = _dense_mha(h, lw["qkv"], lw["out"], cfg.n_heads,
-                             return_scores and l == cfg.n_layers - 1)
+                             l == score_layer)
         if s is not None:
             scores = s
         x = x + attn
@@ -135,3 +142,15 @@ def clip_forward(weights: dict, pixel_values: jax.Array, cfg: CLIPVisionConfig,
         h = quick_gelu(h @ lw["fc1"][0] + lw["fc1"][1])
         x = x + (h @ lw["fc2"][0] + lw["fc2"][1])
     return x, scores
+
+
+def clip_forward(weights: dict, pixel_values: jax.Array, cfg: CLIPVisionConfig,
+                 return_scores: bool = False
+                 ) -> Tuple[jax.Array, Optional[jax.Array]]:
+    """pixel_values: (N, 3, H, W) → hidden states (N, 1 + n_patches, hidden).
+
+    The class token is position 0 (dropped later by feature select)."""
+    x = clip_embed(weights, pixel_values, cfg)
+    return clip_run_layers(weights["layers"], x, cfg,
+                           score_layer=cfg.n_layers - 1 if return_scores
+                           else -1)

@@ -73,6 +73,46 @@ class LlavaVisionModel(VisionModel):
                                   params.return_last_layer_attention)
         return VisionModelOutput(image_features=feats, scores=scores)
 
+    # ---- layer-chunked encode (engine/executor.py state machine) ----
+    # Splitting the tower across engine steps lets decode windows enter
+    # the device queue BETWEEN segments instead of waiting out the whole
+    # ViT forward (the head-of-line interference the EPD split exists for;
+    # reference motivation: hydrainfer/engine/profiler.py:195-240).
+
+    def encode_segments(self, chunk_layers: int) -> int:
+        n = len(self.weights["clip"]["layers"])
+        return -(-n // max(1, chunk_layers))
+
+    def forward_embed(self, pixel_values: jax.Array) -> jax.Array:
+        if not hasattr(self, "_jit_embed"):
+            from .clip import clip_embed
+            self._jit_embed = jax.jit(
+                lambda w, px: clip_embed(w["clip"], px, self.clip_cfg))
+        return self._jit_embed(self.weights, pixel_values)
+
+    def forward_segment(self, hidden: jax.Array, seg: int,
+                        chunk_layers: int) -> jax.Array:
+        from .clip import clip_run_layers
+        layers = self.weights["clip"]["layers"][
+            seg * chunk_layers:(seg + 1) * chunk_layers]
+        if not hasattr(self, "_jit_seg"):
+            # one compile per distinct segment LENGTH (the layer dicts ride
+            # as pytree args, so every equal-length segment shares a key)
+            self._jit_seg = jax.jit(
+                lambda ls, x: clip_run_layers(ls, x, self.clip_cfg)[0])
+        return self._jit_seg(layers, hidden)
+
+    def forward_project(self, hidden: jax.Array) -> jax.Array:
+        if not hasattr(self, "_jit_proj"):
+            def proj(w, h):
+                if self.select_strategy == "default":
+                    h = h[:, 1:]  # drop class token
+                (w1, b1), (w2, b2) = w["proj1"], w["proj2"]
+                h = jax.nn.gelu(h @ w1 + b1, approximate=False)
+                return h @ w2 + b2
+            self._jit_proj = jax.jit(proj)
+        return self._jit_proj(self.weights, hidden)
+
 
 class HFImageProcessorAdapter(ImageProcessor):
     def __init__(self, hf_image_processor):
