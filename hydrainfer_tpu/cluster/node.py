@@ -628,7 +628,10 @@ class AsyncEPDNode:
             if not span:
                 span.append(now)
         for rcb, _ in embeds:
-            rcb.metric.encode_execute.append(now)
+            # open a span only if none is open (a chunked-encode bounce may
+            # hand the same ImageEmbed out more than once)
+            if len(rcb.metric.encode_execute) % 2 == 0:
+                rcb.metric.encode_execute.append(now)
 
     def _stamp_execute_end(self, fills: BatchRequest, embeds: BatchRequest) -> None:
         now = time.perf_counter()
