@@ -32,7 +32,9 @@ async def amain(args):
     from hydrainfer_tpu.utils.socket_utils import find_free_port
 
     factory = RandomWeightFactory(args.arch, multimodal=args.image_ratio > 0,
-                                  layer_loop="unroll")
+                                  layer_loop="unroll",
+                                  quantization=args.quant,
+                                  kv_scale=0.05 if args.kv_int8 else None)
     node = NodeConfig(
         batch_scheduler=BatchSchedulerConfig(
             max_running_requests=args.max_batch, priority="prefill"),
@@ -43,6 +45,8 @@ async def amain(args):
         image_block_size=(factory.clip_cfg.n_patches
                           if args.image_ratio > 0 else -1))
     node.model.dtype = "bf16"
+    if args.kv_int8:
+        node.model.kv_cache_dtype = "int8"
     if args.multi_step:
         node.multi_step_decode = args.multi_step
     # converge the jit-key floors at boot so the measured sweeps never
@@ -109,6 +113,7 @@ async def amain(args):
                        "multi_step": args.multi_step,
                        "arrival": args.arrival,
                        "trace_path": args.trace_path,
+                       "quant": args.quant, "kv_int8": args.kv_int8,
                        "entries": args.entries or "synthetic",
                        "image_ratio": args.image_ratio,
                        "strict": [r.get("slo_strict") for r in rows],
@@ -134,6 +139,9 @@ def main():
                          "output) instead of synthetic entries; image "
                          "entries require --image-ratio > 0 so the engine "
                          "boots the vision tower")
+    ap.add_argument("--quant", default="none",
+                    choices=["none", "int8", "int4", "fp8"])
+    ap.add_argument("--kv-int8", action="store_true")
     ap.add_argument("--arrival", default="poisson",
                     choices=["poisson", "uniform", "mooncake", "azure",
                              "burstgpt"],
