@@ -165,14 +165,24 @@ def init_rope_tables(cfg: DecoderConfig):
     return jnp.cos(freqs) * att, jnp.sin(freqs) * att
 
 
-def stack_layer_weights(layers: list) -> dict:
+def stack_layer_weights(layers: list, consume: bool = False) -> dict:
     """List of per-layer dicts → dict of pytrees stacked on a leading layer
     axis (for lax.scan). Handles plain arrays and QuantizedTensor leaves;
-    None-valued entries (absent biases) are dropped."""
+    None-valued entries (absent biases) are dropped.
+
+    consume=True drops each per-layer entry as its key is stacked, so the
+    transient HBM peak is one key's stack (~3 GB for a 7B int8 gate_up)
+    instead of a full second copy of the tree (which OOMs a 16 GB chip at
+    the 7B int8 size)."""
     keys = [k for k, v in layers[0].items() if v is not None]
-    return {k: jax.tree_util.tree_map(lambda *xs: jnp.stack(xs),
-                                      *[lw[k] for lw in layers])
-            for k in keys}
+    out = {}
+    for k in keys:
+        out[k] = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs),
+                                        *[lw[k] for lw in layers])
+        if consume:
+            for lw in layers:
+                lw[k] = None
+    return out
 
 
 def pack_decoder_weights(weights: dict, layer_loop: str = "scan") -> dict:
@@ -209,9 +219,15 @@ def pack_decoder_weights(weights: dict, layer_loop: str = "scan") -> dict:
             # plain per-layer list
             return pack_decoder_weights(weights, "unroll")
         packed = {k: v for k, v in weights.items() if k != "layers"}
-        packed["layers_stacked"] = stack_layer_weights(body)
+        # consume: drop per-layer refs key-by-key as they stack, so the
+        # transient peak is one key's stack, not a second full tree (a 7B
+        # int8 tree + its stacked copy OOMs a 16 GB chip). The input dict's
+        # layer list is spent afterwards (unroll_stacked only — scan-path
+        # callers re-pack the same raw tree in tests).
+        packed["layers_stacked"] = stack_layer_weights(body, consume=True)
         packed["last_layer"] = {k: v for k, v in layers[-1].items()
                                 if v is not None}
+        weights.pop("layers", None)
         return packed
     packed = {k: v for k, v in weights.items() if k != "layers"}
     body = layers[:-1]
