@@ -63,8 +63,14 @@ class NodeConfig:
     n_kv_blocks: int = -1             # -1 = size from free HBM
     n_image_blocks: int = -1
     hbm_utilization: float = 0.9
-    # jax.Ref in-place KV cache (single-device nodes); set False to fall back
-    # to the value/donation path
+    # jax.Ref in-place KV cache (single-device nodes); False = the
+    # value/donation path. Round-5 forensics (PERF_NOTES): on the tunneled
+    # TPU a Ref-mutating program chain SERIALIZES D2H reads against all
+    # enqueued compute, while donated value buffers stream reads at the
+    # producer's completion — the strict-streaming preset (small fused
+    # windows, deep pipeline) therefore requires False. Throughput at the
+    # default K=16 schedule measures equal either way (2129 ref / 2138
+    # value at the 7B headline).
     kv_cache_ref: bool = True
     log_latency_breakdown: bool = False
     tpot_slo: float = 0.4
