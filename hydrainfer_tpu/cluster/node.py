@@ -497,8 +497,9 @@ class AsyncEPDNode:
             batch = self.batch_scheduler.step()
         if len(batch) == 0:
             # a chunked encode must keep advancing even with nothing else
-            # scheduled (its own request is parked inside the executor)
-            self._encode_tick()
+            # scheduled (its own requests are parked inside the executor —
+            # and on finish they MUST rejoin the scheduler, or they're lost)
+            self._finish_or_requeue(self._encode_tick())
             # idle: drain the async pipeline so trailing tokens reach their
             # output processors
             self.flush_fills()
@@ -596,18 +597,21 @@ class AsyncEPDNode:
         if self.config.log_latency_breakdown:
             self._stamp_execute_end(fills, embeds)
 
-        now = time.perf_counter()
         # pulls are NOT rejoined here — their background task re-enqueues
         # them when the transfer lands (_pull_one)
         for b in (embeds, fills, empties, finished_encode):
-            for rcb, _ in b:
-                if rcb.is_finished():
-                    rcb.metric.finished_time = now
-                    self._free_cache(rcb)
-                    if self.config.log_latency_breakdown:
-                        log_latency_breakdown(rcb.metric)
-                else:
-                    self.batch_scheduler.schedule_running(rcb)
+            self._finish_or_requeue(b)
+
+    def _finish_or_requeue(self, b: BatchRequest) -> None:
+        now = time.perf_counter()
+        for rcb, _ in b:
+            if rcb.is_finished():
+                rcb.metric.finished_time = now
+                self._free_cache(rcb)
+                if self.config.log_latency_breakdown:
+                    log_latency_breakdown(rcb.metric)
+            else:
+                self.batch_scheduler.schedule_running(rcb)
 
     def _encode_tick(self):
         """Advance an in-flight chunked encode by one segment; returns the
