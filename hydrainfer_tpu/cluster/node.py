@@ -182,6 +182,14 @@ class NodeConfig:
     # program). Requires a fixed-resolution vision model with the segment
     # API (models/llava.py); others silently run unchunked.
     encode_chunk_layers: int = 0
+    # while a chunked encode is in flight, cap the fused decode window at
+    # this many steps: segments advance once per engine step, so a full
+    # K=16 window between segments couples the encode's duration to the
+    # decode cadence (measured: 4-segment CLIP-L stretched over 5 windows
+    # ~650 ms vs ~120 ms monolithic — encode throughput collapses). A
+    # short window keeps segments flowing at ~window/4 cadence while
+    # decodes still interleave. 0 = no cap.
+    encode_chunk_window: int = 4
     token_table_size: int = 4096
     # reference parity: a failed migrate RPC is retried against the next
     # balancer target this many times before the request is terminated
@@ -555,6 +563,10 @@ class AsyncEPDNode:
                     self.config.spec_ngram_n) is not None
             if not spec_done:
                 n_steps = self.config.multi_step_decode
+                iee_busy = (self.executor.image_embed_executor is not None
+                            and self.executor.image_embed_executor.busy)
+                if iee_busy and self.config.encode_chunk_window > 0:
+                    n_steps = min(n_steps, self.config.encode_chunk_window)
                 if self.config.adaptive_postprocess and n_steps > 1:
                     # same load policy as the read batching: full fused
                     # window when throughput-bound, single steps when
