@@ -32,6 +32,10 @@ import jax
 import jax.numpy as jnp
 
 _NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
+# dense-oracle score workspace above this switches to the per-sequence
+# lax.map form (see paged_attention_jnp)
+_ORACLE_SCORE_BYTES_LIMIT = int(os.environ.get(
+    "HYDRAINFER_ORACLE_SCORE_BYTES", 1 << 30))
 
 
 @jax.tree_util.register_dataclass
@@ -128,11 +132,39 @@ def paged_attention_jnp(q: jax.Array, cache: jax.Array, layer_id,
     pos_pad = jnp.zeros((S, max_q), dtype=jnp.int32)
     pos_pad = pos_pad.at[seq_ids, params.q_local_ids].set(cache_pos, mode="drop")
 
+    kv_idx = jnp.arange(max_kv, dtype=jnp.int32)
+    if S * H * max_q * max_kv * 4 > _ORACLE_SCORE_BYTES_LIMIT:
+        # Memory-safe form: one sequence at a time under lax.map, so the
+        # score workspace is (H, max_q, max_kv) instead of (S, ...). The
+        # dense form's (S, H, 2048, 512) fp32 tensor at a 13B prefill is
+        # ~10 GB and crashes the TPU compiler outright (same failure class
+        # as the MLA oracle blow-up, PERF_NOTES round 3); per-sequence the
+        # oracle prefills models whose heads no Pallas kernel serves yet.
+        def one_seq(args):
+            q_s, k_s, v_s, pos_s, kv_len = args
+            qf = q_s.astype(jnp.float32) * sm_scale
+            scores = jnp.einsum("qhd,khd->hqk", qf, k_s.astype(jnp.float32))
+            causal = kv_idx[None, :] <= pos_s[:, None]        # (max_q, max_kv)
+            valid = kv_idx[None, :] < kv_len
+            mask = (causal & valid)[None]                     # (1, max_q, max_kv)
+            scores = jnp.where(mask, scores, _NEG_INF)
+            m = jnp.max(scores, axis=-1, keepdims=True)
+            e = jnp.exp(scores - jnp.maximum(m, _NEG_INF / 2))
+            e = jnp.where(mask, e, 0.0)
+            denom = jnp.sum(e, axis=-1, keepdims=True)
+            p = e / jnp.maximum(denom, 1e-30)
+            out_s = jnp.einsum("hqk,khd->qhd", p, v_s.astype(jnp.float32))
+            return out_s
+
+        out_pad = jax.lax.map(one_seq,
+                              (q_pad, k, v, pos_pad, params.kv_lens))
+        out = out_pad[jnp.minimum(seq_ids, S - 1), params.q_local_ids]
+        return out.astype(q.dtype)
+
     qf = q_pad.astype(jnp.float32) * sm_scale
     kf = k.astype(jnp.float32)
     scores = jnp.einsum("sqhd,skhd->shqk", qf, kf)  # (S, H, max_q, max_kv)
 
-    kv_idx = jnp.arange(max_kv, dtype=jnp.int32)
     # causal: kv position j visible iff j <= token's absolute position
     causal = kv_idx[None, None, :] <= pos_pad[:, :, None]          # (S, max_q, max_kv)
     valid = kv_idx[None, None, :] < params.kv_lens[:, None, None]  # (S, 1->max_q, max_kv)

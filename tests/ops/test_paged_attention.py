@@ -174,3 +174,28 @@ def test_mha_varlen_segments():
         np.testing.assert_allclose(np.asarray(out)[sl], expected, rtol=2e-4, atol=2e-4)
     # cross-segment attention mass is zero
     assert float(jnp.sum(scores[:, :4, 4:])) == 0.0
+
+
+def test_jnp_oracle_chunked_matches_dense():
+    """The per-sequence lax.map oracle form (engaged when the dense score
+    workspace would exceed _ORACLE_SCORE_BYTES_LIMIT) must be numerically
+    identical to the dense form — it exists so the oracle can prefill
+    models whose head counts no Pallas kernel serves (the 13B dense form's
+    ~10GB score tensor crashes the TPU compiler)."""
+    import hydrainfer_tpu.ops.attention as A
+    rng = np.random.default_rng(11)
+    q, cache, params, expected = build_case(
+        rng, [(6, 6), (1, 9), (3, 11), (1, 4)])
+    sm_scale, max_q = 1.0 / np.sqrt(q.shape[-1]), 6
+    q, cache = jnp.asarray(q), jnp.asarray(cache)
+    dense = A.paged_attention_jnp(q, cache, 0, params, sm_scale, max_q)
+    np.testing.assert_allclose(np.asarray(dense), expected,
+                               rtol=2e-4, atol=2e-4)
+    old = A._ORACLE_SCORE_BYTES_LIMIT
+    try:
+        A._ORACLE_SCORE_BYTES_LIMIT = 0   # force the chunked form
+        chunked = A.paged_attention_jnp(q, cache, 0, params, sm_scale, max_q)
+    finally:
+        A._ORACLE_SCORE_BYTES_LIMIT = old
+    np.testing.assert_allclose(np.asarray(chunked), np.asarray(dense),
+                               rtol=1e-5, atol=1e-5)
