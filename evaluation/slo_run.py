@@ -39,8 +39,14 @@ async def amain(args):
         batch_scheduler=BatchSchedulerConfig(
             max_running_requests=args.max_batch, priority="prefill"),
         kv_block_size=16,
-        n_kv_blocks=max(2048, 4 * args.max_batch *
-                        (args.max_prompt_len + args.max_output_len) // 16),
+        # NOTE an oversized pool raises the boot fair-share context and with
+        # it the block-table width floor (MB); at 7B MB=128 the upstream
+        # ragged kernel's prefill q-tile exceeds the 16MB scoped vmem and
+        # the COMPILE fails mid-serving. --kv-blocks pins the pool to the
+        # workload envelope instead.
+        n_kv_blocks=args.kv_blocks or max(
+            2048, 4 * args.max_batch *
+            (args.max_prompt_len + args.max_output_len) // 16),
         n_image_blocks=(max(8, args.max_batch) if args.image_ratio > 0 else 1),
         image_block_size=(factory.clip_cfg.n_patches
                           if args.image_ratio > 0 else -1))
@@ -139,6 +145,8 @@ def main():
                          "output) instead of synthetic entries; image "
                          "entries require --image-ratio > 0 so the engine "
                          "boots the vision tower")
+    ap.add_argument("--kv-blocks", type=int, default=0,
+                    help="pin the KV pool size (0 = size from the workload)")
     ap.add_argument("--quant", default="none",
                     choices=["none", "int8", "int4", "fp8"])
     ap.add_argument("--kv-int8", action="store_true")
