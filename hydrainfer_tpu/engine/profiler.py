@@ -209,26 +209,43 @@ class BatchSchedulerProfiler:
             return
         from .params_builder import TOKEN_BUCKETS, bucket_of
         top = bucket_of(max(2, token_budget), TOKEN_BUCKETS)
+        # Split each T across sequences no longer than the PRE-RATCHETED
+        # per-request context envelope: a single T=2048 sequence would
+        # ratchet the MB (block-table width) floor to T/block_size, and at
+        # 7B-class head counts the upstream ragged kernel's prefill q-tile
+        # then exceeds the 16MB scoped vmem — the COMPILE itself fails.
+        # Real serving batches pack multiple prompts per T bucket anyway,
+        # so the multi-sequence form matches the keys traffic actually
+        # produces.
+        fx0 = getattr(self.executor, "fill_executor", None)
+        bs = self.kv.block_size
+        ctx_cap = max(bs, (fx0._mb_highwater if fx0 is not None else 1) * bs)
         for T in [b for b in TOKEN_BUCKETS if b <= top]:
-            rcb = RequestControlBlock()
-            rcb.sampling_params = SamplingParameters(max_tokens=1,
-                                                     ignore_eos=True)
-            b = InstructionListBuilder()
-            b.append(TextFill(
-                token_ids=list(np.random.randint(10, 100, size=T)),
-                position_ids=list(range(T)), cache_ids=list(range(T)),
-                sample=True, sample_dst=None, hashes=None))
-            rcb.instructions = b.build()
-            rcb.virtual_kv_cache = self.kv.allocate_virtual_cache()
+            rcbs = []
+            for lo in range(0, T, ctx_cap):
+                n = min(ctx_cap, T - lo)
+                rcb = RequestControlBlock()
+                rcb.sampling_params = SamplingParameters(max_tokens=1,
+                                                         ignore_eos=True)
+                b = InstructionListBuilder()
+                b.append(TextFill(
+                    token_ids=list(np.random.randint(10, 100, size=n)),
+                    position_ids=list(range(n)), cache_ids=list(range(n)),
+                    sample=True, sample_dst=None, hashes=None))
+                rcb.instructions = b.build()
+                rcb.virtual_kv_cache = self.kv.allocate_virtual_cache()
+                self.kv.realloc(rcb.virtual_kv_cache, n)
+                rcbs.append(rcb)
             try:
-                self.kv.realloc(rcb.virtual_kv_cache, T)
-                self.executor.execute_fill(BatchRequest([rcb])).get()
+                self.executor.execute_fill(BatchRequest(rcbs)).get()
             finally:
                 fx = getattr(self.executor, "fill_executor", None)
-                if fx is not None:
-                    fx.release_slot(rcb)
-                self.kv.free(rcb.virtual_kv_cache)
-        logger.info(f"prefill ladder warmup done (T<= {top})")
+                for rcb in rcbs:
+                    if fx is not None:
+                        fx.release_slot(rcb)
+                    self.kv.free(rcb.virtual_kv_cache)
+        logger.info(f"prefill ladder warmup done (T<= {top}, "
+                    f"ctx_cap={ctx_cap})")
 
     def profile_token_budgets(self) -> int:
         if not self.config.enabled or self.executor is None or self.kv is None:
