@@ -29,7 +29,7 @@ import numpy as np
 
 
 def _engine(factory, n_kv_blocks, n_image_blocks, image_block_size,
-            max_running, node_type):
+            max_running, node_type, encode_chunk_layers=0):
     from hydrainfer_tpu.cluster.node import NodeConfig
     from hydrainfer_tpu.engine.request_processor import RequestProcessorConfig
     from hydrainfer_tpu.engine.scheduler import BatchSchedulerConfig
@@ -50,6 +50,7 @@ def _engine(factory, n_kv_blocks, n_image_blocks, image_block_size,
     # ratchets them, and the MEASURED run's first prefill re-keys (MB 8→16)
     # — a one-time ~8s mid-measurement compile that looked like a stall
     cfg.boot_warmup = True
+    cfg.encode_chunk_layers = encode_chunk_layers
     cfg.model.dtype = "bf16"
     return OfflineEngine(cfg, model_factory=factory, node_type=node_type)
 
@@ -88,15 +89,26 @@ def _token_gaps(outs):
 
 
 def run_analysis(arch: str, tiny: bool = False, batch: int = 16,
-                 prompt_len: int = 128, gen: int = 64):
+                 prompt_len: int = 128, gen: int = 64,
+                 encode_chunk_layers: int = 0):
     from hydrainfer_tpu.models.random_init import RandomWeightFactory
     if tiny:
         batch, prompt_len, gen = 4, 16, 12
 
     results = {}
 
-    def measure(name, engine, make_reqs, make_warm_reqs):
-        engine.generate(make_warm_reqs(), timeout_s=1200)  # compile buckets
+    def measure(name, engine, make_reqs, *warm_factories):
+        # TWO warm passes with DISTINCT fresh prompts: batch composition is
+        # timing-nondeterministic (especially encode/prefill interleaves —
+        # and chunked-encode segment programs key on image-count buckets),
+        # so one pass can leave jit keys for the measured pass to mint
+        # mid-measurement (observed: a ~8s compile inside the chunked
+        # colocated measure turned 843 tok/s into 109). Reusing the same
+        # prompts would instead make the later pass an exact prefix-cache
+        # hit (different, shorter prefill buckets) — hence one factory per
+        # pass. Same methodology as bench.py's two measured rounds.
+        for warm in warm_factories:
+            engine.generate(warm(), timeout_s=1200)
         # requests are created AFTER the warmup: arrival_time stamps at
         # construction, so building them earlier would fold the warmup's
         # compile time into every measured TTFT
@@ -124,20 +136,24 @@ def run_analysis(arch: str, tiny: bool = False, batch: int = 16,
     eng = _engine(factory, kv_blocks, 1, -1, batch, "PD")
     measure("decode_only", eng,
             lambda: _requests(batch, prompt_len, gen, tag="d"),
-            lambda: _requests(batch, prompt_len, gen, tag="dw"))
+            lambda: _requests(batch, prompt_len, gen, tag="dw"),
+            lambda: _requests(batch, prompt_len, gen, tag="dw2"))
     del eng
 
     # 2 + 3. colocated EPD: same text workload with every 4th request
     # carrying an image, vs encode-only
     factory_mm = RandomWeightFactory(arch, multimodal=True, layer_loop="unroll")
     img_tokens = factory_mm.clip_cfg.n_patches
-    eng = _engine(factory_mm, kv_blocks, max(8, batch), img_tokens, batch, "EPD")
+    eng = _engine(factory_mm, kv_blocks, max(8, batch), img_tokens, batch,
+                  "EPD", encode_chunk_layers=encode_chunk_layers)
     measure("encode_only", eng,
             lambda: _requests(batch // 2, 4, 2, image_every=1, tag="e"),
-            lambda: _requests(batch // 2, 4, 2, image_every=1, tag="ew"))
+            lambda: _requests(batch // 2, 4, 2, image_every=1, tag="ew"),
+            lambda: _requests(batch // 2, 4, 2, image_every=1, tag="ew2"))
     measure("colocated_epd", eng,
             lambda: _requests(batch, prompt_len, gen, image_every=4, tag="c"),
-            lambda: _requests(batch, prompt_len, gen, image_every=4, tag="cw"))
+            lambda: _requests(batch, prompt_len, gen, image_every=4, tag="cw"),
+            lambda: _requests(batch, prompt_len, gen, image_every=4, tag="cw2"))
     del eng
 
     d, c = results["decode_only"], results["colocated_epd"]
@@ -151,6 +167,7 @@ def run_analysis(arch: str, tiny: bool = False, batch: int = 16,
     }
     return {"arch": arch, "batch": batch, "prompt_len": prompt_len,
             "gen": gen, "image_tokens": img_tokens,
+            "encode_chunk_layers": encode_chunk_layers,
             "stages": results, "interference": interference}
 
 
@@ -187,6 +204,9 @@ def main():
     ap.add_argument("--gen", type=int, default=64)
     ap.add_argument("--tiny", action="store_true",
                     help="tiny shapes for CPU smoke runs")
+    ap.add_argument("--encode-chunk-layers", type=int, default=0,
+                    help="layer-chunked encode segment size for the "
+                         "colocated engine (0 = whole tower)")
     ap.add_argument("--platform", default=None, choices=[None, "cpu", "tpu"])
     ap.add_argument("--out", default=None, help="write JSON here")
     args = ap.parse_args()
@@ -194,7 +214,8 @@ def main():
         import jax
         jax.config.update("jax_platforms", args.platform)
     r = run_analysis(args.arch, tiny=args.tiny, batch=args.batch,
-                     prompt_len=args.prompt_len, gen=args.gen)
+                     prompt_len=args.prompt_len, gen=args.gen,
+                     encode_chunk_layers=args.encode_chunk_layers)
     print(to_markdown(r))
     if args.out:
         with open(args.out, "w") as f:
