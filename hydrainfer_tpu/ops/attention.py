@@ -267,6 +267,54 @@ def paged_attention_mha_decode(q: jax.Array, cache: jax.Array, layer_id,
     return out
 
 
+def paged_attention_varlen_prefill(q: jax.Array, cache: jax.Array, layer_id,
+                                   params: PagedAttentionParams,
+                                   sm_scale: float,
+                                   kv_scale: Optional[float] = None,
+                                   interpret: bool = False) -> jax.Array:
+    """Causal varlen flash over GATHERED pages — the prefill path for head
+    shapes the upstream ragged kernel rejects (e.g. 80 combined kv heads at
+    13B: "can not be XLA fully tiled"). Gathers each sequence's pages dense
+    (O(kv bytes)), flattens them with per-row segment ids + cache
+    positions, and runs the segment-masked flash kernel with its causal
+    leg — O(Tq·Tkv) FLOPs like any attention, but O(T) HBM traffic where
+    the dense oracle materializes an (S, H, max_q, max_kv) score tensor
+    (~10 GB at a 13B T=2048 prefill — a compiler-killing allocation)."""
+    T, H, D = q.shape
+    KVH = max(cache.shape[-2] // 2, 1)
+    S = params.n_seqs
+    k = _gather_pages(cache, layer_id, 0, params.block_tables, 0)
+    v = _gather_pages(cache, layer_id, 0, params.block_tables, 1)
+    if kv_scale is not None:
+        k = (k.astype(jnp.float32) * kv_scale).astype(q.dtype)
+        v = (v.astype(jnp.float32) * kv_scale).astype(q.dtype)
+    k = _repeat_kv(k, H // KVH)          # (S, max_kv, H, D)
+    v = _repeat_kv(v, H // KVH)
+    max_kv = k.shape[1]
+
+    # flatten (S, max_kv) → rows with segment ids (-1 past each kv_len)
+    k_flat = k.reshape(S * max_kv, H, D)
+    v_flat = v.reshape(S * max_kv, H, D)
+    kv_pos = jnp.tile(jnp.arange(max_kv, dtype=jnp.int32), S)
+    kv_seg = jnp.repeat(jnp.arange(S, dtype=jnp.int32), max_kv)
+    kv_seg = jnp.where(kv_pos < jnp.repeat(params.kv_lens, max_kv),
+                       kv_seg, -1)
+
+    # q rows carry their CACHE position (kv_len - q_len + local id) — the
+    # same causal coordinate the oracle uses (rope positions diverge from
+    # cache ids under M-RoPE)
+    q_lens = params.cu_q_lens[1:] - params.cu_q_lens[:-1]
+    cache_pos = (jnp.take(params.kv_lens - q_lens,
+                          jnp.maximum(params.q_seq_ids, 0), axis=0)
+                 + params.q_local_ids)
+
+    from .pallas.mha_varlen import mha_varlen_flash
+    return mha_varlen_flash(
+        q, k_flat, v_flat, params.q_seq_ids, sm_scale,
+        kv_seq_ids=kv_seg, q_pos=cache_pos, kv_pos=kv_pos,
+        interpret=interpret)
+
+
 def paged_attention_tp(q: jax.Array, cache: jax.Array, layer_id,
                        params: PagedAttentionParams, sm_scale: float,
                        max_q: int, mesh, impl: str = "auto",
@@ -425,8 +473,25 @@ def paged_attention(q: jax.Array, cache: jax.Array, layer_id,
                 _FALLBACK_LOGGED = True
                 import logging
                 logging.getLogger(__name__).warning(
-                    "paged attention kernel unavailable, using dense jnp "
-                    "fallback (first occurrence only): %s", e)
+                    "paged attention kernel unavailable, trying the varlen "
+                    "prefill kernel (first occurrence only): %s", e)
+    # last kernel before the dense oracle: causal varlen flash over
+    # gathered pages — serves prefill at head shapes the ragged kernel
+    # rejects (13B's 80 combined kv heads) with O(T) HBM traffic
+    if impl in ("auto", "varlen_prefill") and cache.shape[-2] > 1:
+        try:
+            if impl == "auto" and jax.default_backend() != "tpu":
+                raise ImportError("varlen prefill auto-path is TPU-only")
+            return paged_attention_varlen_prefill(
+                q, cache, layer_id, params, sm_scale, kv_scale=kv_scale,
+                interpret=jax.default_backend() != "tpu")
+        except Exception as e:
+            if impl == "varlen_prefill":
+                raise
+            import logging
+            logging.getLogger(__name__).warning(
+                "varlen prefill kernel unavailable, using dense jnp "
+                "fallback: %s", e)
     return paged_attention_jnp(q, cache, layer_id, params, sm_scale, max_q,
                                kv_scale=kv_scale)
 

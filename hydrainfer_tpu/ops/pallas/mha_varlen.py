@@ -16,6 +16,7 @@ Grid: (heads, q blocks, kv blocks), kv innermost; the l/m/acc scratch
 carries the online softmax across kv blocks of one (head, q block).
 """
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -31,6 +32,8 @@ def _mha_varlen_kernel(q_ref,      # (1, bq, D) VMEM
                        v_ref,      # (1, bk, D)
                        qid_ref,    # (bq, 1) int32 segment id per q row
                        kid_ref,    # (bk, 1) int32 segment id per kv row
+                       qpos_ref,   # (bq, 1) int32 position per q row
+                       kpos_ref,   # (bk, 1) int32 position per kv row
                        o_ref,      # (1, bq, D)
                        m_ref,      # (bq, 128) f32 scratch
                        l_ref,      # (bq, 128) f32
@@ -57,6 +60,10 @@ def _mha_varlen_kernel(q_ref,      # (1, bq, D) VMEM
     # image id — mask them by absolute position, not just by id sign
     col_pos = kv_blk * bk + lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
     same = (qid == kid.T) & (qid >= 0) & (col_pos < n_tokens)  # (bq, bk)
+    # causal leg (prefill over gathered pages): kv position visible iff
+    # <= the q row's absolute position. Bidirectional callers (ViT) pass
+    # all-zero positions, making this a no-op (0 <= 0).
+    same &= kpos_ref[...].T <= qpos_ref[...]
     qk = jnp.where(same, qk, MASK_VALUE)
 
     m_curr = jnp.max(qk, axis=1, keepdims=True)            # (bq, 1)
@@ -88,23 +95,38 @@ def _mha_varlen_kernel(q_ref,      # (1, bq, D) VMEM
 def mha_varlen_flash(q: jax.Array, k: jax.Array, v: jax.Array,
                      seq_ids: jax.Array, sm_scale: float,
                      block_q: int = 256, block_kv: int = 256,
-                     interpret: bool = False) -> jax.Array:
-    """q/k/v: (T, H, D) patches of all images concatenated; seq_ids: (T,)
-    image index per patch, -1 = padding. Returns (T, H, D); padded rows are
-    finite zeros."""
-    T, H, D = q.shape
-    bq = min(block_q, max(T, 8))
-    bk = min(block_kv, max(T, 8))
-    grid = (H, pl.cdiv(T, bq), pl.cdiv(T, bk))
+                     interpret: bool = False,
+                     kv_seq_ids: Optional[jax.Array] = None,
+                     q_pos: Optional[jax.Array] = None,
+                     kv_pos: Optional[jax.Array] = None) -> jax.Array:
+    """q: (Tq, H, D); k/v: (Tk, H, D) — patches of all images concatenated
+    (ViT form, Tk == Tq) or per-sequence gathered pages (causal prefill
+    form). seq_ids: (Tq,) segment index per q row, -1 = padding;
+    kv_seq_ids: (Tk,) segment per kv row (defaults to seq_ids). q_pos /
+    kv_pos (optional): absolute positions — when given, kv rows are only
+    visible at kv_pos <= q_pos (causal). Returns (Tq, H, D); padded rows
+    are finite zeros."""
+    Tq, H, D = q.shape
+    Tk = k.shape[0]
+    if kv_seq_ids is None:
+        kv_seq_ids = seq_ids
+    bq = min(block_q, max(Tq, 8))
+    bk = min(block_kv, max(Tk, 8))
+    grid = (H, pl.cdiv(Tq, bq), pl.cdiv(Tk, bk))
 
     # (H, T, D) layout so each grid step slices one head's (block, D) tile
     qt = q.transpose(1, 0, 2)
     kt = k.transpose(1, 0, 2)
     vt = v.transpose(1, 0, 2)
-    ids = seq_ids.astype(jnp.int32).reshape(T, 1)
+    qids = seq_ids.astype(jnp.int32).reshape(Tq, 1)
+    kids = kv_seq_ids.astype(jnp.int32).reshape(Tk, 1)
+    qp = (jnp.zeros((Tq, 1), jnp.int32) if q_pos is None
+          else q_pos.astype(jnp.int32).reshape(Tq, 1))
+    kp = (jnp.zeros((Tk, 1), jnp.int32) if kv_pos is None
+          else kv_pos.astype(jnp.int32).reshape(Tk, 1))
 
     kernel = pl.pallas_call(
-        functools.partial(_mha_varlen_kernel, sm_scale=sm_scale, n_tokens=T),
+        functools.partial(_mha_varlen_kernel, sm_scale=sm_scale, n_tokens=Tk),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, bq, D), lambda h, i, j: (h, i, 0)),
@@ -112,9 +134,11 @@ def mha_varlen_flash(q: jax.Array, k: jax.Array, v: jax.Array,
             pl.BlockSpec((1, bk, D), lambda h, i, j: (h, j, 0)),
             pl.BlockSpec((bq, 1), lambda h, i, j: (i, 0)),
             pl.BlockSpec((bk, 1), lambda h, i, j: (j, 0)),
+            pl.BlockSpec((bq, 1), lambda h, i, j: (i, 0)),
+            pl.BlockSpec((bk, 1), lambda h, i, j: (j, 0)),
         ],
         out_specs=pl.BlockSpec((1, bq, D), lambda h, i, j: (h, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((H, T, D), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((H, Tq, D), q.dtype),
         scratch_shapes=[
             pltpu.VMEM((bq, 128), jnp.float32),
             pltpu.VMEM((bq, 128), jnp.float32),
@@ -125,5 +149,5 @@ def mha_varlen_flash(q: jax.Array, k: jax.Array, v: jax.Array,
         interpret=interpret,
         name="mha_varlen_flash",
     )
-    out = kernel(qt, kt, vt, ids, ids)
+    out = kernel(qt, kt, vt, qids, kids, qp, kp)
     return out.transpose(1, 0, 2)

@@ -199,3 +199,37 @@ def test_jnp_oracle_chunked_matches_dense():
         A._ORACLE_SCORE_BYTES_LIMIT = old
     np.testing.assert_allclose(np.asarray(chunked), np.asarray(dense),
                                rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("seq_specs", [
+    [(5, 5)],                       # fresh prefill
+    [(1, 9)],                       # decode with history
+    [(6, 6), (1, 9), (3, 11)],      # mixed prefill + decode + chunked tail
+    [(4, 12), (2, 6)],              # chunked continuations
+])
+def test_varlen_prefill_kernel_vs_oracle(seq_specs):
+    """The causal varlen-flash-over-gathered-pages prefill path (the 13B /
+    rejected-head-shape kernel) must match the numpy oracle exactly
+    (interpret mode on CPU)."""
+    from hydrainfer_tpu.ops.attention import paged_attention_varlen_prefill
+    rng = np.random.default_rng(3)
+    q, cache, params, expected = build_case(rng, seq_specs)
+    out = paged_attention_varlen_prefill(
+        jnp.asarray(q), jnp.asarray(cache), 0, params,
+        1.0 / np.sqrt(q.shape[-1]), interpret=True)
+    np.testing.assert_allclose(np.asarray(out), expected, rtol=2e-4,
+                               atol=2e-4)
+
+
+def test_varlen_prefill_kernel_padded_batch():
+    """Padded q rows (seq -1) and padded seq slots must come back finite."""
+    from hydrainfer_tpu.ops.attention import paged_attention_varlen_prefill
+    rng = np.random.default_rng(4)
+    q, cache, params, expected = build_case(rng, [(3, 7), (1, 5)],
+                                            T_pad=8, S_pad=4)
+    out = paged_attention_varlen_prefill(
+        jnp.asarray(q), jnp.asarray(cache), 0, params,
+        1.0 / np.sqrt(q.shape[-1]), interpret=True)
+    out = np.asarray(out)
+    assert np.isfinite(out).all()
+    np.testing.assert_allclose(out[:4], expected[:4], rtol=2e-4, atol=2e-4)
