@@ -194,12 +194,22 @@ def paged_attention_ragged(q: jax.Array, cache: jax.Array, layer_id,
     kv_pages = cache[layer_id, 0]  # (n_blocks, block_size, 2*KVH, D) view
     if pages_per_block is not None:
         pages_per_block = min(pages_per_block, params.block_tables.shape[1])
+    # Cap the kernel's q block when its auto heuristic would blow the 16MB
+    # scoped vmem: at T=2048 x 32 heads x d128 the q tile alone is 16.75MB
+    # and the COMPILE fails ("exceeded scoped vmem limit"), killing the
+    # serving step that minted the key. Cap so the q tile stays <= 8MB.
+    T, H, D = q.shape
+    nqpb = None
+    q_tile_bytes = T * H * D * q.dtype.itemsize
+    if q_tile_bytes > (8 << 20):
+        nqpb = max(128, (8 << 20) // (H * D * q.dtype.itemsize))
     return ragged_paged_attention(
         q, kv_pages,
         kv_lens=params.kv_lens,
         page_indices=jnp.maximum(params.block_tables, 0),
         cu_q_lens=params.cu_q_lens,
         num_seqs=params.num_seqs,
+        num_queries_per_block=nqpb,
         sm_scale=sm_scale,
         k_scale=k_scale, v_scale=v_scale,
         num_kv_pages_per_block=pages_per_block,
