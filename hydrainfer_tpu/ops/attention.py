@@ -198,11 +198,16 @@ def paged_attention_ragged(q: jax.Array, cache: jax.Array, layer_id,
     # scoped vmem: at T=2048 x 32 heads x d128 the q tile alone is 16.75MB
     # and the COMPILE fails ("exceeded scoped vmem limit"), killing the
     # serving step that minted the key. Cap so the q tile stays <= 8MB.
+    # NOTE the kernel re-derives BOTH block sizes from its tuned table when
+    # EITHER is None (kernel.py:806), so the q cap must be accompanied by
+    # an explicit kv-pages block or it is silently discarded.
     T, H, D = q.shape
     nqpb = None
     q_tile_bytes = T * H * D * q.dtype.itemsize
     if q_tile_bytes > (8 << 20):
         nqpb = max(128, (8 << 20) // (H * D * q.dtype.itemsize))
+        if pages_per_block is None:
+            pages_per_block = min(8, params.block_tables.shape[1])
     return ragged_paged_attention(
         q, kv_pages,
         kv_lens=params.kv_lens,
