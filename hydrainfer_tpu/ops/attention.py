@@ -194,20 +194,22 @@ def paged_attention_ragged(q: jax.Array, cache: jax.Array, layer_id,
     kv_pages = cache[layer_id, 0]  # (n_blocks, block_size, 2*KVH, D) view
     if pages_per_block is not None:
         pages_per_block = min(pages_per_block, params.block_tables.shape[1])
-    # Cap the kernel's q block when its auto heuristic would blow the 16MB
-    # scoped vmem: at T=2048 x 32 heads x d128 the q tile alone is 16.75MB
-    # and the COMPILE fails ("exceeded scoped vmem limit"), killing the
-    # serving step that minted the key. Cap so the q tile stays <= 8MB.
-    # NOTE the kernel re-derives BOTH block sizes from its tuned table when
-    # EITHER is None (kernel.py:806), so the q cap must be accompanied by
-    # an explicit kv-pages block or it is silently discarded.
+    # The kernel's tuned block table has no entries for WIDE page tables
+    # (pages_per_seq > 64): at T=2048/MB=128 it picks a q block whose
+    # scoped-vmem footprint (q + out + f32 acc + l/m scratch) exceeds the
+    # 16MB limit and the COMPILE fails, killing the serving step that
+    # minted the key. Override both block sizes there (the kernel discards
+    # a lone q cap — it re-derives BOTH from the table when either is
+    # None, kernel.py:806) with a conservative 128-row q block (~10MB
+    # total at 32 heads x d128). Narrow-table shapes keep the tuned table
+    # (measured fine through MB<=64).
     T, H, D = q.shape
     nqpb = None
-    q_tile_bytes = T * H * D * q.dtype.itemsize
-    if q_tile_bytes > (8 << 20):
-        nqpb = max(128, (8 << 20) // (H * D * q.dtype.itemsize))
+    pages_per_seq = params.block_tables.shape[1]
+    if T >= 1024 and pages_per_seq > 64:
+        nqpb = 128
         if pages_per_block is None:
-            pages_per_block = min(8, params.block_tables.shape[1])
+            pages_per_block = min(8, pages_per_seq)
     return ragged_paged_attention(
         q, kv_pages,
         kv_lens=params.kv_lens,
