@@ -505,10 +505,12 @@ def paged_attention(q: jax.Array, cache: jax.Array, layer_id,
         except Exception as e:
             if impl == "varlen_prefill":
                 raise
-            import logging
-            logging.getLogger(__name__).warning(
-                "varlen prefill kernel unavailable, using dense jnp "
-                "fallback: %s", e)
+            if not _FALLBACK_LOGGED:
+                _FALLBACK_LOGGED = True
+                import logging
+                logging.getLogger(__name__).warning(
+                    "varlen prefill kernel unavailable, using dense jnp "
+                    "fallback (first occurrence only): %s", e)
     return paged_attention_jnp(q, cache, layer_id, params, sm_scale, max_q,
                                kv_scale=kv_scale)
 
