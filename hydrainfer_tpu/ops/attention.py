@@ -206,7 +206,9 @@ def paged_attention_ragged(q: jax.Array, cache: jax.Array, layer_id,
     T, H, D = q.shape
     nqpb = None
     pages_per_seq = params.block_tables.shape[1]
-    if T >= 1024 and pages_per_seq > 64:
+    if pages_per_seq > 64:
+        # ALL T: at T=64/MB=128 the table instead picks a kv-pages block
+        # whose double buffers alone blow the limit (measured 16.75M)
         nqpb = 128
         if pages_per_block is None:
             pages_per_block = min(8, pages_per_seq)
