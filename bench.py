@@ -247,6 +247,9 @@ def main():
     ap.add_argument("--encode-chunk-layers", type=int, default=0,
                     help="layer-chunked ViT encode: tower segment size in "
                          "layers (0 = whole tower in one program)")
+    ap.add_argument("--kv-pages-per-block", type=int, default=0,
+                    help="decode-kernel DMA block size in kv pages "
+                         "(0 = kernel default)")
     ap.add_argument("--pipeline-depth", type=int, default=0,
                     help="async pipeline depth in device steps (how many "
                          "fused-window steps may be in flight before the "
@@ -261,7 +264,8 @@ def main():
                        pipeline=args.pipeline, multi_step=args.multi_step,
                        post_batch_steps=args.post_batch_steps,
                        pipeline_depth=args.pipeline_depth,
-                       encode_chunk_layers=args.encode_chunk_layers)
+                       encode_chunk_layers=args.encode_chunk_layers,
+                       kv_pages_per_block=args.kv_pages_per_block)
     print(json.dumps(result))
 
 
