@@ -262,6 +262,27 @@ class BatchScheduler:
                 logger.warning(
                     f"cache back-pressure: {len(deferred)} request(s) deferred "
                     f"(kv free blocks: {self.kv_cache_manager.n_available_blocks()})")
+            if self._oom_deferrals % 20000 == 1 and not runnable:
+                # EVERY resident request deferred: under the admission
+                # invariant (sum of worst-case reservations <= pool,
+                # prefix-discounted) someone below its worst case should
+                # always be able to grow — so this state is either a
+                # transient pool-full blip or the livelock documented in
+                # evaluation/results/slo_trace_open_issue.md. Dump the
+                # per-request accounting so the violation self-diagnoses.
+                rows = []
+                for rcb in deferred + runnable:
+                    alloc = (len(rcb.virtual_kv_cache.block_table)
+                             if rcb.virtual_kv_cache else 0)
+                    worst = self._demand_blocks(rcb)
+                    resv = getattr(rcb, "_kv_reservation", -1)
+                    flag = " OVER" if alloc > worst else ""
+                    rows.append(f"{rcb.request_id}: alloc={alloc} "
+                                f"worst={worst} resv={resv}{flag}")
+                logger.warning(
+                    "back-pressure invariant dump (reserved=%s pool=%s):\n  %s",
+                    self._reserved_blocks, self.kv_cache_manager.n_blocks,
+                    "\n  ".join(rows))
         self.running = runnable
 
         # 2. classify
